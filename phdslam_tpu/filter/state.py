@@ -1,0 +1,154 @@
+"""The SLAM state as one fixed-shape pytree.
+
+Replaces the reference's ``SynthSLAM`` (vector<vector<Gaussian2D>> per
+particle plus host-side offset bookkeeping, src/slamtypes.h:288-337 and
+src/phdfilter.cu:2901-3103) with padded arrays + weight masks:
+
+ - a map slot is *empty* iff its weight is exactly 0.0 — the linear-space
+   analog of the reference's LOG0 convention; prune = zero the weight;
+   compaction = weight-ranked top-k instead of thrust::remove_copy_if.
+ - all shapes are static, so one jit of ``step`` serves every time step and
+   the particle axis P shards cleanly over a device mesh.
+
+Pose layout follows ConstantVelocityState (src/slamtypes.h:44-51):
+``[px, py, ptheta, vx, vy, vtheta]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GaussianMixture:
+    """Padded Gaussian mixture: weights 0 mark empty slots.
+
+    w    [..., F]        linear-space weights (reference keeps map weights
+                         linear too; log-space appears only transiently in
+                         the pre-update, src/phdfilter.cu:384-388)
+    mean [..., F, d]
+    cov  [..., F, d, d]
+    """
+
+    w: jax.Array
+    mean: jax.Array
+    cov: jax.Array
+
+    @property
+    def max_features(self) -> int:
+        return self.w.shape[-1]
+
+    @property
+    def dim(self) -> int:
+        return self.mean.shape[-1]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.w > 0
+
+    @property
+    def cardinality(self) -> jax.Array:
+        """Expected number of targets = sum of weights."""
+        return jnp.sum(self.w, axis=-1)
+
+    @classmethod
+    def empty(cls, batch_shape, max_features: int, dim: int,
+              dtype=jnp.float32) -> "GaussianMixture":
+        bs = tuple(batch_shape)
+        return cls(
+            w=jnp.zeros(bs + (max_features,), dtype),
+            mean=jnp.zeros(bs + (max_features, dim), dtype),
+            cov=jnp.broadcast_to(
+                jnp.eye(dim, dtype=dtype),
+                bs + (max_features, dim, dim)).copy(),
+        )
+
+
+@struct.dataclass
+class SlamState:
+    """Full Rao-Blackwellized particle filter state (one pytree).
+
+    Mirrors SynthSLAM (src/slamtypes.h:288-311): per-particle pose, log
+    weight, static (2-D) and dynamic (4-D) GM maps, CPHD cardinality
+    distribution, MC variance estimate, and the resample indices of the last
+    resampling (for the log format, src/main.cpp:937-942).
+    """
+
+    pose: jax.Array            # [P, 6]
+    log_weights: jax.Array     # [P], log-space, normalized after update
+    map_static: GaussianMixture    # [P, F, 2]
+    map_dynamic: GaussianMixture   # [P, Fd, 4]
+    resample_idx: jax.Array    # [P] int32
+    variances: jax.Array       # [P]
+    cardinality: Optional[jax.Array] = None  # [P, Nmax+1] log-pmf (CPHD)
+
+    @property
+    def n_particles(self) -> int:
+        return self.pose.shape[0]
+
+    @classmethod
+    def create(cls, config, dtype=jnp.float32) -> "SlamState":
+        """Initial state per src/main.cpp:1130-1145: all particles at the
+        configured initial pose, uniform weights -log(N)."""
+        n = config.n_particles
+        pose0 = jnp.array(
+            [config.x0, config.y0, config.yaw0,
+             config.vx0, config.vy0, config.vyaw0], dtype)
+        pose = jnp.broadcast_to(pose0, (n, 6)).copy()
+        f_static = config.maxFeatures
+        f_dynamic = config.maxFeatures if config.featureModel != 0 else 0
+        cardinality = None
+        if config.filterType == 1:  # CPHD
+            nc = config.maxCardinality + 1
+            cardinality = jnp.full((n, nc), -jnp.log(float(nc)), dtype)
+        return cls(
+            pose=pose,
+            log_weights=jnp.full((n,), -jnp.log(float(n)), dtype),
+            map_static=GaussianMixture.empty((n,), f_static, 2, dtype),
+            map_dynamic=GaussianMixture.empty((n,), f_dynamic, 4, dtype),
+            resample_idx=jnp.arange(n, dtype=jnp.int32),
+            variances=jnp.zeros((n,), dtype),
+            cardinality=cardinality,
+        )
+
+
+@struct.dataclass
+class Measurements:
+    """Fixed-size padded measurement batch for one time step.
+
+    The reference packs <=256 measurements into __constant__ memory
+    (src/phdfilter.cu:120, :3389-3400); here a [M,2] array + validity mask
+    + int labels, padded to config.maxMeasurements.
+    """
+
+    rb: jax.Array      # [M, 2] (range, bearing)
+    label: jax.Array   # [M] int32 (STATIC/DYNAMIC measurement label)
+    valid: jax.Array   # [M] bool
+
+    @property
+    def max_measurements(self) -> int:
+        return self.rb.shape[0]
+
+    @property
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+    @classmethod
+    def pad(cls, ranges, bearings, labels=None, max_measurements: int = 64,
+            dtype=jnp.float32) -> "Measurements":
+        import numpy as np
+        m = min(len(ranges), max_measurements)
+        rb = np.zeros((max_measurements, 2), dtype=np.float32)
+        rb[:m, 0] = np.asarray(ranges)[:m]
+        rb[:m, 1] = np.asarray(bearings)[:m]
+        lab = np.zeros((max_measurements,), dtype=np.int32)
+        if labels is not None:
+            lab[:m] = np.asarray(labels)[:m]
+        valid = np.zeros((max_measurements,), dtype=bool)
+        valid[:m] = True
+        return cls(rb=jnp.asarray(rb, dtype), label=jnp.asarray(lab),
+                   valid=jnp.asarray(valid))

@@ -1,0 +1,182 @@
+"""Gaussian-mixture operations on fixed-shape padded arrays.
+
+Replaces the reference's dynamic-shape mixture machinery:
+ - thrust::remove_copy_if pruning (src/phdfilter.cu:3105-3174)  -> weight
+   masking + weight-ranked top-k compaction,
+ - the block-per-particle greedy merge kernel phdUpdateMergeKernel
+   (src/phdfilter.cu:2707-2898) -> a bounded ``lax.while_loop`` vmapped over
+   particles,
+ - the CPU Eigen reduceGaussianMixture used for the EAP map
+   (src/gm_reduce.cpp:57-134) -> the same greedy merge (both implement
+   max-weight-first moment-matched clustering).
+
+All functions are jit-safe (static shapes, no data-dependent shapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from phdslam_tpu.ops.linalg import (
+    hellinger_gaussian,
+    mahalanobis_gaussian,
+    symmetrize,
+)
+
+
+def top_k_components(w, mean, cov, k):
+    """Compact a padded mixture to its k highest-weight components.
+
+    The fixed-shape analog of stream compaction: empty slots (w==0) sort
+    last; the result is a valid padded mixture of static size k.
+    w [..., N]; mean [..., N, d]; cov [..., N, d, d].
+    """
+    top_w, idx = jax.lax.top_k(w, k)
+    mean_k = jnp.take_along_axis(mean, idx[..., None], axis=-2)
+    cov_k = jnp.take_along_axis(cov, idx[..., None, None], axis=-3)
+    return top_w, mean_k, cov_k
+
+
+def prune_weights(w, min_weight):
+    """Zero out sub-threshold weights — the merge-flag prune of
+    src/phdfilter.cu:2307-2319 (weight < minFeatureWeight -> dropped)."""
+    return jnp.where(w >= min_weight, w, 0.0)
+
+
+def _pairwise_dist(mean_ref, cov_ref, mean, cov, metric: int):
+    if metric == 1:
+        return hellinger_gaussian(mean_ref, cov_ref, mean, cov)
+    return mahalanobis_gaussian(mean_ref, cov_ref, mean, cov)
+
+
+def greedy_merge(w, mean, cov, min_separation, max_out: int,
+                 metric: int = 0):
+    """Greedy max-weight-first moment-matched mixture reduction.
+
+    Per-particle semantics of phdUpdateMergeKernel
+    (src/phdfilter.cu:2739-2890):
+      while any unmerged component has weight > 0 (up to ``max_out`` rounds):
+        pick the max-weight unmerged component; gather every unmerged
+        component within ``min_separation`` (Mahalanobis with averaged covs,
+        or Hellinger); moment-match them into one Gaussian; mark merged.
+
+    Unbatched (single mixture); vmap over particles. Components with w == 0
+    are empty. Unlike the reference (unbounded output) the output is capped
+    at ``max_out`` rounds; weight-descending picking makes the dropped tail
+    the least significant components.
+
+    Returns (w_out [max_out], mean_out [max_out, d], cov_out [max_out, d, d]).
+    """
+    n, d = mean.shape[0], mean.shape[1]
+    dtype = mean.dtype
+
+    def body(carry):
+        i, w_rem, w_out, mean_out, cov_out = carry
+        # max-weight unmerged component (parallel argmax reduction analog)
+        pick = jnp.argmax(w_rem)
+        ref_mean = mean[pick]
+        ref_cov = cov[pick]
+        dist = _pairwise_dist(ref_mean[None], ref_cov[None], mean, cov, metric)
+        sel = (dist < min_separation) & (w_rem > 0)
+        # the picked component always merges with itself
+        sel = sel.at[pick].set(True)
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw)
+        mu = jnp.sum(sw[:, None] * mean, axis=0) / wsum
+        diff = mu[None, :] - mean                        # [n, d]
+        outer = diff[:, :, None] * diff[:, None, :]      # [n, d, d]
+        sig = jnp.sum(sw[:, None, None] * (cov + outer), axis=0) / wsum
+        sig = symmetrize(sig)
+        w_out = w_out.at[i].set(wsum)
+        mean_out = mean_out.at[i].set(mu)
+        cov_out = cov_out.at[i].set(sig)
+        w_rem = jnp.where(sel, 0.0, w_rem)
+        return i + 1, w_rem, w_out, mean_out, cov_out
+
+    def cond(carry):
+        i, w_rem, *_ = carry
+        return (i < max_out) & jnp.any(w_rem > 0)
+
+    init = (
+        jnp.array(0, jnp.int32),
+        w,
+        jnp.zeros((max_out,), dtype),
+        jnp.zeros((max_out, d), dtype),
+        jnp.broadcast_to(jnp.eye(d, dtype=dtype), (max_out, d, d)).copy(),
+    )
+    _, _, w_out, mean_out, cov_out = jax.lax.while_loop(cond, body, init)
+    return w_out, mean_out, cov_out
+
+
+def greedy_merge_batch(w, mean, cov, min_separation, max_out: int,
+                       metric: int = 0):
+    """vmap of ``greedy_merge`` over a leading particle axis."""
+    return jax.vmap(
+        lambda wi, mi, ci: greedy_merge(wi, mi, ci, min_separation, max_out,
+                                        metric))(w, mean, cov)
+
+
+def reduce_mixture_np(w, mean, cov, min_separation):
+    """NumPy greedy reduction with the *CPU* reference's semantics
+    (src/gm_reduce.cpp:57-134): sort by weight once, pop the front, merge all
+    components within Mahalanobis distance (L-solve form), repeat. Used for
+    the EAP expected-map estimate on host (src/main.cpp:290-316).
+
+    Returns (w_out, mean_out, cov_out) as numpy arrays (dynamic length —
+    host-side only, not jit-safe).
+    """
+    import numpy as np
+
+    w = np.asarray(w, np.float64)
+    mean = np.asarray(mean, np.float64)
+    cov = np.asarray(cov, np.float64)
+    alive = w > 0
+    order = np.argsort(-w, kind="stable")
+    order = [i for i in order if alive[i]]
+    used = np.zeros(len(w), bool)
+    out_w, out_m, out_c = [], [], []
+    for _ in range(len(order)):
+        # first unused in weight order
+        head = next((i for i in order if not used[i]), None)
+        if head is None:
+            break
+        sigma_h = cov[head]
+        members = [head]
+        used[head] = True
+        for j in order:
+            if used[j]:
+                continue
+            sigma = 0.5 * (sigma_h + cov[j])
+            diff = mean[head] - mean[j]
+            try:
+                L = np.linalg.cholesky(sigma)
+                x = np.linalg.solve(L, diff)
+                dist = float(np.dot(x, x))
+            except np.linalg.LinAlgError:
+                dist = np.inf
+            if dist < min_separation:
+                members.append(j)
+                used[j] = True
+        mw = w[members]
+        wsum = mw.sum()
+        mu = (mw[:, None] * mean[members]).sum(0) / wsum
+        diffs = mu[None] - mean[members]
+        sig = (mw[:, None, None]
+               * (cov[members] + diffs[:, :, None] * diffs[:, None, :])
+               ).sum(0) / wsum
+        out_w.append(wsum)
+        out_m.append(mu)
+        out_c.append(sig)
+    if not out_w:
+        d = mean.shape[-1]
+        return (np.zeros((0,)), np.zeros((0, d)), np.zeros((0, d, d)))
+    return np.array(out_w), np.array(out_m), np.array(out_c)
+
+
+def eval_mixture(w, mean, cov, x):
+    """Evaluate the mixture intensity at points x [..., d]."""
+    from phdslam_tpu.ops.linalg import gaussian_logpdf
+
+    logpdf = gaussian_logpdf(x[..., None, :], mean, cov)  # [..., F]
+    return jnp.sum(w * jnp.exp(logpdf), axis=-1)

@@ -1,0 +1,327 @@
+"""CPU reference GM-PHD SLAM: a faithful, dynamic-shape NumPy implementation.
+
+This is the correctness anchor the reference repo lacks (its `scphd_cpu.cpp`
+is an empty stub, src/scphd_cpu.cpp:1-2). It follows the CUDA algorithm's
+semantics exactly — dynamic per-particle Gaussian lists, host-style control
+flow — with no padding, masking, or top-k approximations. Used by:
+  * unit/regression tests as the oracle for the fixed-shape TPU path,
+  * BASELINE config 1 ("CPU reference ... 64 particles"),
+  * the speedup denominator in bench.py.
+
+Algorithm mapping (all citations /root/reference/src/):
+  predict      phdfilter.cu:785-825 (Ackerman), :827-859 (CV)
+  gating       phdfilter.cu:1279-1358 (in / nearly-in / out split)
+  pre-update   phdfilter.cu:301-395 (Kalman terms + log partial weights)
+  update       phdfilter.cu:2083-2321 (normalizers, particle weights,
+                                       component weights, prune flags)
+  merge        phdfilter.cu:2707-2898 (greedy max-weight moment matching)
+  resample     main.cpp:453-501 (stratified with overrun backfill)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from phdslam_tpu.config import SlamConfig
+
+LOG0 = -3.4028235e38
+
+
+@dataclass
+class CpuParticle:
+    pose: np.ndarray                 # [6]
+    log_weight: float
+    w: np.ndarray                    # [F]
+    mean: np.ndarray                 # [F, 2]
+    cov: np.ndarray                  # [F, 2, 2]
+
+
+@dataclass
+class CpuSlam:
+    particles: List[CpuParticle]
+    resample_idx: np.ndarray = field(default_factory=lambda: np.zeros(0, int))
+
+    @classmethod
+    def create(cls, cfg: SlamConfig):
+        n = cfg.n_particles
+        pose0 = np.array([cfg.x0, cfg.y0, cfg.yaw0,
+                          cfg.vx0, cfg.vy0, cfg.vyaw0], np.float64)
+        parts = [CpuParticle(pose0.copy(), -np.log(n),
+                             np.zeros(0), np.zeros((0, 2)),
+                             np.zeros((0, 2, 2))) for _ in range(n)]
+        return cls(parts, np.arange(n))
+
+
+def wrap(a):
+    return np.arctan2(np.sin(a), np.cos(a))
+
+
+def predict(slam: CpuSlam, control, cfg: SlamConfig, dt, rng):
+    for p in slam.particles:
+        if cfg.motionType == 1:  # Ackerman
+            ve = control[0] + cfg.stdEncoder * rng.standard_normal()
+            al = control[1] + cfg.stdAlpha * rng.standard_normal()
+            x, y, th = p.pose[0], p.pose[1], p.pose[2]
+            vc = ve / (1.0 - np.tan(al) * cfg.h / cfg.l)
+            td = vc * np.tan(al) / cfg.l
+            p.pose[0] = x + dt * (vc * np.cos(th)
+                                  - td * (cfg.a * np.sin(th)
+                                          + cfg.b * np.cos(th)))
+            p.pose[1] = y + dt * (vc * np.sin(th)
+                                  + td * (cfg.a * np.cos(th)
+                                          - cfg.b * np.sin(th)))
+            p.pose[2] = wrap(th + dt * td)
+            p.pose[3:] = 0.0
+        else:  # CV
+            ax = 3 * cfg.ax * rng.standard_normal()
+            ay = 3 * cfg.ay * rng.standard_normal()
+            ath = 3 * cfg.ayaw * rng.standard_normal()
+            x, y, th, vx, vy, vth = p.pose
+            c, s = np.cos(th), np.sin(th)
+            p.pose[0] = x + dt * (vx * c - vy * s) \
+                + 0.5 * dt * dt * (ax * c - ay * s)
+            p.pose[1] = y + dt * (vx * s + vy * c) \
+                + 0.5 * dt * dt * (ax * s + ay * c)
+            p.pose[2] = wrap(th + dt * vth + 0.5 * dt * dt * ath)
+            p.pose[3] = vx + dt * ax
+            p.pose[4] = vy + dt * ay
+            p.pose[5] = vth + dt * ath
+
+
+def _birth(pose, z, cfg):
+    theta = pose[2] + z[1]
+    ct, st = np.cos(theta), np.sin(theta)
+    dx, dy = z[0] * ct, z[0] * st
+    mean = np.array([pose[0] + dx, pose[1] + dy])
+    vr = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
+    vb = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
+    j0, j1, j2, j3 = ct, st, -dy, dx
+    cov = np.array([[j0 * j0 * vr + j2 * j2 * vb,
+                     j0 * j1 * vr + j2 * j3 * vb],
+                    [j0 * j1 * vr + j2 * j3 * vb,
+                     j1 * j1 * vr + j3 * j3 * vb]])
+    return mean, cov
+
+
+def update(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig):
+    """z [M, 2] (range, bearing). Returns nothing; mutates particles."""
+    m_count = z.shape[0]
+    if m_count == 0:
+        return
+    var_r, var_b = cfg.stdRange ** 2, cfg.stdBearing ** 2
+
+    for p in slam.particles:
+        pose = p.pose
+        # ---- gating: in / nearly-in / out ----
+        if len(p.w):
+            d = p.mean - pose[:2]
+            r = np.linalg.norm(d, axis=1)
+            b = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
+            in_m = (r >= cfg.minRange) & (r <= cfg.maxRange) \
+                & (np.abs(b) <= cfg.maxBearing)
+            near_m = ~in_m & (r >= 0.8 * cfg.minRange) \
+                & (r <= 1.2 * cfg.maxRange) \
+                & (np.abs(b) <= 1.2 * cfg.maxBearing)
+            out_m = ~in_m & ~near_m
+        else:
+            in_m = near_m = out_m = np.zeros(0, bool)
+
+        w_in, mu_in, P_in = p.w[in_m], p.mean[in_m], p.cov[in_m]
+        n_f = len(w_in)
+
+        # ---- Kalman pre-update per in-range feature ----
+        comps_w, comps_mu, comps_P = [], [], []
+        log_norms = np.zeros(m_count)
+        sum_pd_w = 0.0
+        if n_f:
+            d = mu_in - pose[:2]
+            r = np.linalg.norm(d, axis=1)
+            bearing = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
+            pd = np.where((r <= cfg.maxRange)
+                          & (np.abs(bearing) <= cfg.maxBearing),
+                          cfg.pd, 0.0)
+            sum_pd_w = float(np.sum(pd * w_in))
+            J = np.stack([
+                np.stack([d[:, 0] / r, d[:, 1] / r], -1),
+                np.stack([-d[:, 1] / r ** 2, d[:, 0] / r ** 2], -1)], -2)
+            S = np.einsum("fij,fjk,flk->fil", J, P_in, J)
+            S[:, 0, 0] += var_r
+            S[:, 1, 1] += var_b
+            off = 0.5 * (S[:, 0, 1] + S[:, 1, 0])
+            S[:, 0, 1] = S[:, 1, 0] = off
+            det_s = S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]
+            s_inv = np.stack([
+                np.stack([S[:, 1, 1], -S[:, 0, 1]], -1),
+                np.stack([-S[:, 1, 0], S[:, 0, 0]], -1)], -2) \
+                / det_s[:, None, None]
+            K = np.einsum("fij,fkj,fkl->fil", P_in, J, s_inv)
+            IKJ = np.eye(2) - np.einsum("fij,fjk->fik", K, J)
+            R = np.diag([var_r, var_b])
+            P_up = np.einsum("fij,fjk,flk->fil", IKJ, P_in, IKJ) \
+                + np.einsum("fij,jk,flk->fil", K, R, K)
+            # nondetect terms
+            comps_w.append(w_in * (1 - pd))
+            comps_mu.append(mu_in)
+            comps_P.append(P_in)
+            # detection terms per measurement
+            for mi in range(m_count):
+                innov = np.stack([z[mi, 0] - r,
+                                  wrap(z[mi, 1] - bearing)], -1)
+                dist = np.einsum("fi,fij,fj->f", innov, s_inv, innov)
+                lw = (np.log(pd.clip(1e-300))
+                      + np.log(w_in.clip(1e-300))
+                      - 0.5 * dist - np.log(2 * np.pi)
+                      - 0.5 * np.log(det_s))
+                sum_exp = np.exp(lw).sum()
+                norm = sum_exp + cfg.clutterDensity + cfg.birthWeight
+                log_norms[mi] = np.log(norm)
+                comps_w.append(np.exp(lw - log_norms[mi]))
+                comps_mu.append(mu_in + np.einsum("fij,fj->fi", K, innov))
+                comps_P.append(P_up)
+        else:
+            log_norms[:] = np.log(cfg.clutterDensity + cfg.birthWeight)
+
+        # birth terms
+        bw, bmu, bP = [], [], []
+        for mi in range(m_count):
+            mean_b, cov_b = _birth(pose, z[mi], cfg)
+            bw.append(cfg.birthWeight / np.exp(log_norms[mi]))
+            bmu.append(mean_b)
+            bP.append(cov_b)
+        comps_w.append(np.asarray(bw))
+        comps_mu.append(np.asarray(bmu))
+        comps_P.append(np.asarray(bP))
+
+        uw = np.concatenate(comps_w)
+        umu = np.concatenate(comps_mu)
+        uP = np.concatenate(comps_P)
+
+        # ---- particle weight ----
+        if cfg.particleWeighting == 0:
+            card_pred = sum_pd_w + m_count * cfg.birthWeight
+            p.log_weight += float(log_norms.sum() - card_pred)
+        else:
+            cn_predict = float(np.sum(w_in))
+            cn_update = float(np.sum(uw))
+            p.log_weight += float(m_count * cfg.clutterDensity
+                                  + cn_update - cn_predict
+                                  - cfg.clutterRate)
+
+        # ---- prune ----
+        keep = uw >= cfg.minFeatureWeight
+        uw, umu, uP = uw[keep], umu[keep], uP[keep]
+
+        # ---- recombine with nearly-in-range, then greedy merge ----
+        uw = np.concatenate([uw, p.w[near_m]])
+        umu = np.concatenate([umu, p.mean[near_m]])
+        uP = np.concatenate([uP, p.cov[near_m]])
+
+        mw, mmu, mP = _greedy_merge(uw, umu, uP, cfg)
+
+        # ---- out-of-range pass-through ----
+        p.w = np.concatenate([mw, p.w[out_m]])
+        p.mean = np.concatenate([mmu, p.mean[out_m]])
+        p.cov = np.concatenate([mP, p.cov[out_m]])
+
+    # ---- weight normalization ----
+    lws = np.array([p.log_weight for p in slam.particles])
+    mx = lws.max()
+    total = mx + np.log(np.exp(lws - mx).sum())
+    for p in slam.particles:
+        p.log_weight -= total
+
+
+def _greedy_merge(w, mu, P, cfg: SlamConfig):
+    n = len(w)
+    merged_w, merged_mu, merged_P = [], [], []
+    alive = w > 0
+    w = w.copy()
+    for _ in range(n):
+        if not alive.any():
+            break
+        pick = np.argmax(np.where(alive, w, -1))
+        refm, refP = mu[pick], P[pick]
+        sig = 0.5 * (refP[None] + P)
+        det = sig[:, 0, 0] * sig[:, 1, 1] - sig[:, 0, 1] * sig[:, 1, 0]
+        diff = refm[None] - mu
+        dist = (diff[:, 0] ** 2 * sig[:, 1, 1]
+                - 2 * diff[:, 0] * diff[:, 1] * sig[:, 0, 1]
+                + diff[:, 1] ** 2 * sig[:, 0, 0]) / det
+        sel = alive & (dist < cfg.minSeparation)
+        sel[pick] = True
+        sw = w[sel]
+        wsum = sw.sum()
+        m = (sw[:, None] * mu[sel]).sum(0) / wsum
+        dd = m[None] - mu[sel]
+        cc = (sw[:, None, None]
+              * (P[sel] + dd[:, :, None] * dd[:, None, :])).sum(0) / wsum
+        merged_w.append(wsum)
+        merged_mu.append(m)
+        merged_P.append(0.5 * (cc + cc.T))
+        alive &= ~sel
+    if not merged_w:
+        return np.zeros(0), np.zeros((0, 2)), np.zeros((0, 2, 2))
+    return (np.asarray(merged_w), np.asarray(merged_mu),
+            np.asarray(merged_P))
+
+
+def neff(slam: CpuSlam):
+    lws = np.array([p.log_weight for p in slam.particles])
+    return 1.0 / np.sum(np.exp(2 * lws)) / len(lws)
+
+
+def resample(slam: CpuSlam, rng, n_out: Optional[int] = None):
+    n = len(slam.particles)
+    n_out = n_out or n
+    w = np.exp([p.log_weight for p in slam.particles])
+    csum = np.cumsum(w)
+    u = rng.uniform(size=n_out)
+    rpos = (np.arange(n_out) + u) / n_out
+    idx = np.searchsorted(csum, rpos)
+    idx = np.minimum(idx, n - 1)
+    new_parts = []
+    for i in idx:
+        src = slam.particles[i]
+        new_parts.append(CpuParticle(
+            src.pose.copy(), -np.log(n_out),
+            src.w.copy(), src.mean.copy(), src.cov.copy()))
+    slam.particles = new_parts
+    slam.resample_idx = idx
+
+
+def expected_pose(slam: CpuSlam):
+    w = np.exp([p.log_weight for p in slam.particles])
+    poses = np.stack([p.pose for p in slam.particles])
+    return (w[:, None] * poses).sum(0)
+
+
+def map_estimate(slam: CpuSlam):
+    i = int(np.argmax([p.log_weight for p in slam.particles]))
+    p = slam.particles[i]
+    return p.w, p.mean, p.cov
+
+
+def run(cfg: SlamConfig, controls, measurement_sets, seed=0,
+        callback=None):
+    """Run the full CPU filter. controls [T-1, 2]; measurement_sets: list of
+    [K,2] arrays. Returns stacked expected poses [T, 6]."""
+    rng = np.random.default_rng(seed)
+    slam = CpuSlam.create(cfg)
+    out = []
+    for t, z in enumerate(measurement_sets):
+        if t > 0:
+            u = controls[t - 1]
+            for _ in range(max(cfg.subdividePredict, 1)):
+                predict(slam, u, cfg, cfg.dt / max(cfg.subdividePredict, 1),
+                        rng)
+        if len(z):
+            update(slam, np.asarray(z), cfg)
+        out.append(expected_pose(slam))
+        if neff(slam) <= cfg.resampleThresh and len(z):
+            resample(slam, rng, cfg.n_particles)
+        if callback:
+            callback(t, slam)
+    return np.asarray(out)

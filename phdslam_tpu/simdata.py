@@ -1,0 +1,130 @@
+"""Synthetic data generation: trajectories, controls, and measurements.
+
+Rebuild of python/generate_simdata.py + python/AckermanMotionModel.py +
+python/RangeBearingMeasurementModel.py (and the MATLAB SynthSetup2.m data
+path): given a landmark map and a trajectory (or controls to roll one out),
+produce noisy control and measurement files in the reference text formats.
+
+Measurement generation semantics (python/RangeBearingMeasurementModel.py:33-55):
+ - features within range/bearing FOV detected with probability pd
+ - detections get Gaussian range/bearing noise (range may go negative for
+   near-zero clutter/targets — the shipped datasets contain such values)
+ - Poisson(clutterRate) clutter uniform in the FOV polar box
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Scenario:
+    landmarks: np.ndarray          # [L, 2]
+    traj: np.ndarray               # [T, 3] (x, y, theta)
+    controls_true: np.ndarray      # [T-1, 2] (v_encoder, alpha)
+    dt: float
+    # sensor
+    max_range: float = 10.0
+    max_bearing: float = np.pi / 2
+    std_range: float = 1.0
+    std_bearing: float = 0.0349
+    clutter_rate: float = 20.0
+    pd: float = 0.95
+    min_range: float = 0.0
+    # vehicle (Victoria-Park Ackerman)
+    l: float = 2.83
+    h: float = 0.76
+    a: float = 3.78
+    b: float = 0.50
+
+
+def ackerman_step_np(state, u, dt, l, h, a, b):
+    x, y, th = state
+    ve, al = u
+    vc = ve / (1.0 - np.tan(al) * h / l)
+    td = vc * np.tan(al) / l
+    x2 = x + dt * (vc * np.cos(th) - td * (a * np.sin(th) + b * np.cos(th)))
+    y2 = y + dt * (vc * np.sin(th) + td * (a * np.cos(th) - b * np.sin(th)))
+    th2 = np.arctan2(np.sin(th + dt * td), np.cos(th + dt * td))
+    return np.array([x2, y2, th2])
+
+
+def make_scenario(rng: np.random.Generator, n_landmarks: int = 80,
+                  n_steps: int = 330, dt: float = 1.0,
+                  map_extent: float = 20.0, **sensor_kw) -> Scenario:
+    """Random landmarks in a square + a wandering Ackerman trajectory
+    (the SynthSetup2.m recipe: 80 landmarks in [-20,20]^2)."""
+    landmarks = rng.uniform(-map_extent, map_extent, (n_landmarks, 2))
+    sc = Scenario(landmarks=landmarks,
+                  traj=np.zeros((n_steps + 1, 3)),
+                  controls_true=np.zeros((n_steps, 2)), dt=dt, **sensor_kw)
+    state = np.zeros(3)
+    traj = [state]
+    controls = []
+    v = 0.0
+    for t in range(n_steps):
+        v = np.clip(v + rng.normal(0.0, 0.3), 0.5, 3.0)
+        alpha = 0.35 * np.sin(t / 25.0) + rng.normal(0.0, 0.02)
+        u = np.array([v, alpha])
+        state = ackerman_step_np(state, u, dt, sc.l, sc.h, sc.a, sc.b)
+        # keep the vehicle inside the map: steer back when escaping
+        if np.linalg.norm(state[:2]) > map_extent * 0.9:
+            alpha = 0.3
+        controls.append(u)
+        traj.append(state)
+    sc.traj = np.asarray(traj)
+    sc.controls_true = np.asarray(controls)
+    return sc
+
+
+def generate_measurements(rng: np.random.Generator, sc: Scenario,
+                          pose) -> np.ndarray:
+    """Measurements for one pose: [K, 2] (range, bearing)."""
+    d = sc.landmarks - pose[:2]
+    r = np.linalg.norm(d, axis=1)
+    b = np.arctan2(d[:, 1], d[:, 0]) - pose[2]
+    b = np.arctan2(np.sin(b), np.cos(b))
+    fov = (r >= sc.min_range) & (r <= sc.max_range) \
+        & (np.abs(b) <= sc.max_bearing)
+    det = fov & (rng.uniform(size=r.shape) < sc.pd)
+    zr = r[det] + rng.normal(0.0, sc.std_range, det.sum())
+    zb = b[det] + rng.normal(0.0, sc.std_bearing, det.sum())
+    n_clutter = rng.poisson(sc.clutter_rate)
+    cr = rng.uniform(sc.min_range, sc.max_range, n_clutter)
+    cb = rng.uniform(-sc.max_bearing, sc.max_bearing, n_clutter)
+    z = np.stack([np.concatenate([zr, cr]), np.concatenate([zb, cb])],
+                 axis=1)
+    return z[rng.permutation(len(z))]
+
+
+def generate_run(rng: np.random.Generator, sc: Scenario,
+                 control_noise=(2.0, 0.0873)):
+    """One Monte-Carlo run: noisy controls + per-step measurement sets.
+
+    Returns (controls_noisy [T-1,2], list of [K,2] measurement arrays with
+    one set per trajectory pose starting at t=0)."""
+    t = sc.controls_true.shape[0]
+    controls = sc.controls_true + rng.normal(
+        0.0, control_noise, (t, 2))
+    meas = [generate_measurements(rng, sc, sc.traj[k])
+            for k in range(sc.traj.shape[0])]
+    return controls.astype(np.float32), meas
+
+
+def write_run_files(directory: str, controls: np.ndarray, meas: List):
+    """Write measurements.txt / controls.txt in the reference text format."""
+    import os
+    os.makedirs(directory, exist_ok=True)
+    with open(f"{directory}/measurements.txt", "w") as f:
+        f.write("% measurements from simulation data. One time step per "
+                "line, each pair of of numbers is a range/bearing "
+                "measurement.\n")
+        for z in meas:
+            f.write(" ".join(f"{v:.6f}" for v in z.reshape(-1)) + " \n")
+    with open(f"{directory}/controls.txt", "w") as f:
+        f.write("% velocity\tsteering angle\n")
+        for u in controls:
+            f.write(f"{u[0]:.6g} {u[1]:.6g}\n")
