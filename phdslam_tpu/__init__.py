@@ -14,6 +14,16 @@ masks, top-k selection and bounded `lax.while_loop`s so the whole step stays
 on-device under `jit`.
 """
 
+import jax as _jax
+
+# The SLAM math is small-matrix (2x2/4x4) float32 algebra where bf16-lowered
+# dot_general (the TPU default for f32 matmuls) introduces ~2^-8 relative
+# error — enough to visibly perturb Kalman covariances and merge decisions
+# (measured 4.5e-3 absolute on Gaussian log-pdfs). These contractions are
+# tiny, so full-f32 precision costs nothing; genuinely hot large matmuls
+# (Pallas kernels) set their own preferred_element_type explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from phdslam_tpu.config import SlamConfig, load_config
 from phdslam_tpu.filter.state import SlamState, GaussianMixture
 

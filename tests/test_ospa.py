@@ -1,0 +1,79 @@
+"""OSPA metric: brute-force oracle, reference test vector, JAX/NumPy parity."""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from phdslam_tpu.ops.ospa import ospa_jax, ospa_np
+
+
+def brute_force_ospa(x, y, p=1.0, c=10.0):
+    x, y = np.atleast_2d(x), np.atleast_2d(y)
+    m, n = len(x), len(y)
+    if m == 0 and n == 0:
+        return 0.0
+    if m == 0 or n == 0:
+        return c
+    if m > n:
+        x, y = y, x
+        m, n = n, m
+    d = np.minimum(np.linalg.norm(x[:, None] - y[None], axis=-1), c) ** p
+    best = min(sum(d[i, pi[i]] for i in range(m))
+               for pi in itertools.permutations(range(n), m))
+    return ((best + (n - m) * c ** p) / n) ** (1 / p)
+
+
+def test_reference_test_vector():
+    """python/ospa.py's __main__ self-test: X=0..5, Y=[0,-3,-6], p=1, c=10."""
+    x = np.arange(6, dtype=float)[:, None]
+    y = np.array([0.0, -3.0, -6.0])[:, None]
+    err, loc, cn = ospa_np(x, y, p=1, c=10)
+    assert abs(err - brute_force_ospa(x, y, 1, 10)) < 1e-9
+
+
+def test_vs_brute_force(rng):
+    for _ in range(10):
+        m, n = rng.integers(1, 5), rng.integers(1, 6)
+        x = rng.normal(0, 5, (m, 2))
+        y = rng.normal(0, 5, (n, 2))
+        err, loc, cn = ospa_np(x, y, p=1, c=5)
+        assert abs(err - brute_force_ospa(x, y, 1, 5)) < 1e-9
+
+
+def test_empty_conventions():
+    assert ospa_np(np.zeros((0, 2)), np.zeros((0, 2)), c=5) == (0, 0, 0)
+    err, loc, cn = ospa_np(np.zeros((0, 2)), np.ones((3, 2)), c=5)
+    assert err == 5.0 and cn == 5.0
+
+
+def test_jax_matches_np(rng):
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        m, n = r.integers(1, 6), r.integers(1, 7)
+        x = r.normal(0, 5, (m, 2)).astype(np.float32)
+        y = r.normal(0, 5, (n, 2)).astype(np.float32)
+        # pad to fixed shapes
+        xp = np.zeros((8, 2), np.float32)
+        xp[:m] = x
+        yp = np.zeros((8, 2), np.float32)
+        yp[:n] = y
+        xv = np.zeros(8, bool)
+        xv[:m] = True
+        yv = np.zeros(8, bool)
+        yv[:n] = True
+        je, jl, jc = ospa_jax(jnp.asarray(xp), jnp.asarray(xv),
+                              jnp.asarray(yp), jnp.asarray(yv), p=1.0, c=5.0)
+        ne, nl, nc = ospa_np(x, y, p=1, c=5)
+        assert abs(float(je) - ne) < 1e-3, (seed, float(je), ne)
+        assert abs(float(jc) - nc) < 1e-4
+
+
+def test_jax_empty():
+    z = jnp.zeros((4, 2))
+    f = jnp.zeros(4, bool)
+    t = jnp.ones(4, bool)
+    err, loc, cn = ospa_jax(z, f, z, f, p=1.0, c=5.0)
+    assert float(err) == 0.0
+    err2, _, _ = ospa_jax(z, f, z, t, p=1.0, c=5.0)
+    assert abs(float(err2) - 5.0) < 1e-6

@@ -1,0 +1,118 @@
+"""The decisive correctness test: the fixed-shape jit update must match the
+dynamic-shape NumPy CPU oracle (reference_cpu) numerically on the same
+deterministic input — gating classes, Kalman terms, normalizers, particle
+weight deltas, merged maps."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from phdslam_tpu.filter.state import GaussianMixture
+from phdslam_tpu.filter.update import phd_update_static
+from phdslam_tpu import reference_cpu as R
+
+
+def _setup(cfg):
+    P, F, M = 2, cfg.maxFeatures, cfg.maxMeasurements
+    pose = np.array([[0, 0, 0, 0, 0, 0], [0.5, -0.3, 0.1, 0, 0, 0]],
+                    np.float32)
+    w = np.zeros((P, F), np.float32)
+    mean = np.zeros((P, F, 2), np.float32)
+    cov = np.tile(np.eye(2, dtype=np.float32) * 0.3, (P, F, 1, 1))
+    feats = np.array([[3, 1], [5, -2], [2, 4], [11, 1], [20, 5]], np.float32)
+    weights = [0.9, 0.5, 1.2, 0.8, 0.6]
+    for p in range(P):
+        for i, f in enumerate(feats):
+            w[p, i] = weights[i]
+            mean[p, i] = f + p * 0.1
+    z = np.array([[3.1, 0.32], [5.5, -0.37], [7.0, 1.2], [2.2, -0.8],
+                  [4.4, 1.05], [-1.0, 0.5]], np.float32)  # incl neg range
+    z_rb = np.zeros((M, 2), np.float32)
+    z_rb[:6] = z
+    z_valid = np.zeros(M, bool)
+    z_valid[:6] = True
+    return pose, w, mean, cov, z, z_rb, z_valid
+
+
+@pytest.mark.parametrize("weighting", [0, 1])
+def test_update_matches_cpu_oracle(tiny_cfg, weighting):
+    cfg = tiny_cfg.replace(particleWeighting=weighting)
+    pose, w, mean, cov, z, z_rb, z_valid = _setup(cfg)
+    P = pose.shape[0]
+
+    gm = GaussianMixture(w=jnp.asarray(w), mean=jnp.asarray(mean),
+                         cov=jnp.asarray(cov))
+    res = phd_update_static(
+        jnp.asarray(pose), gm, jnp.asarray(z_rb),
+        jnp.zeros(cfg.maxMeasurements, jnp.int32), jnp.asarray(z_valid), cfg)
+    jw = np.asarray(res.map_out.w)
+    jm = np.asarray(res.map_out.mean)
+    jc = np.asarray(res.map_out.cov)
+    jdw = np.asarray(res.log_weight_delta)
+
+    slam = R.CpuSlam.create(cfg.replace(n_particles=P))
+    for p in range(P):
+        sel = w[p] > 0
+        slam.particles[p].pose = pose[p].astype(np.float64)
+        slam.particles[p].w = w[p][sel].astype(np.float64)
+        slam.particles[p].mean = mean[p][sel].astype(np.float64)
+        slam.particles[p].cov = cov[p][sel].astype(np.float64)
+    lw_before = np.array([pp.log_weight for pp in slam.particles])
+    R.update(slam, z, cfg)
+
+    for p in range(P):
+        cw = slam.particles[p].w
+        cm = slam.particles[p].mean
+        cc = slam.particles[p].cov
+        assert (jw[p] > 0).sum() == len(cw)
+        oj = np.argsort(-jw[p])[: len(cw)]
+        oc = np.argsort(-cw)
+        np.testing.assert_allclose(jw[p][oj], cw[oc], rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(jm[p][oj], cm[oc], rtol=1e-3, atol=5e-3)
+        np.testing.assert_allclose(jc[p][oj], cc[oc], rtol=5e-3, atol=5e-3)
+
+    # particle weight deltas: oracle normalizes; compare differences
+    cdw = np.array([pp.log_weight for pp in slam.particles]) - lw_before
+    assert abs((jdw[1] - jdw[0]) - (cdw[1] - cdw[0])) < 2e-3
+
+
+def test_update_empty_map_births_only(tiny_cfg):
+    """With an empty map the update must produce exactly the birth terms and
+    the no-features normalizer (src/phdfilter.cu:2219-2223)."""
+    cfg = tiny_cfg
+    M = cfg.maxMeasurements
+    P = 2
+    pose = jnp.zeros((P, 6))
+    gm = GaussianMixture.empty((P,), cfg.maxFeatures, 2)
+    z_rb = jnp.zeros((M, 2)).at[0].set(jnp.asarray([4.0, 0.2])) \
+        .at[1].set(jnp.asarray([2.0, -0.5]))
+    z_valid = jnp.zeros((M,), bool).at[:2].set(True)
+    res = phd_update_static(pose, gm, z_rb, jnp.zeros(M, jnp.int32),
+                            z_valid, cfg)
+    w = np.asarray(res.map_out.w)
+    expect_bw = cfg.birthWeight / (cfg.clutterDensity + cfg.birthWeight)
+    assert (w[0] > 0).sum() == 2
+    np.testing.assert_allclose(np.sort(w[0])[-2:],
+                               [expect_bw, expect_bw], rtol=1e-4)
+    # weighting scheme 0: dw = 2*log(norm) - 2*birthWeight
+    expect_dw = 2 * np.log(cfg.clutterDensity + cfg.birthWeight) \
+        - 2 * cfg.birthWeight
+    np.testing.assert_allclose(np.asarray(res.log_weight_delta),
+                               expect_dw, rtol=1e-3)
+
+
+def test_update_no_measurements_noop_weights(tiny_cfg):
+    """slam_step gates the update on measurement presence; the raw update
+    with zero valid measurements must leave map mass untouched apart from
+    nondetection scaling — covered by the step-level gate, here we just
+    check it produces no NaNs."""
+    cfg = tiny_cfg
+    P, F, M = 2, cfg.maxFeatures, cfg.maxMeasurements
+    pose = jnp.zeros((P, 6))
+    w = jnp.zeros((P, F)).at[:, 0].set(0.5)
+    gm = GaussianMixture(w=w, mean=jnp.ones((P, F, 2)),
+                         cov=jnp.tile(jnp.eye(2), (P, F, 1, 1)))
+    res = phd_update_static(pose, gm, jnp.zeros((M, 2)),
+                            jnp.zeros(M, jnp.int32), jnp.zeros(M, bool), cfg)
+    assert np.isfinite(np.asarray(res.map_out.w)).all()
+    assert np.isfinite(np.asarray(res.log_weight_delta)).all()
