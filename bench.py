@@ -1,0 +1,122 @@
+"""Benchmark: dense-stress GM-PHD SLAM step on the default (TPU) backend.
+
+BASELINE.md primary metric: ms per SLAM step & particle-updates/sec at 8192
+particles (dense config: 512 padded map components, clutter-heavy scene),
+compared against the CPU reference path (reference_cpu.py — the faithful
+NumPy implementation of the reference algorithm; the reference repo's own
+CPU path, scphd_cpu.cpp, is an empty stub).
+
+Prints ONE JSON line:
+  {"metric": "ms_per_slam_step_8192p", "value": <ms>, "unit": "ms",
+   "vs_baseline": <speedup over CPU reference, extrapolated to 8192p>}
+
+vs_baseline > 50 meets the BASELINE.md target.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def make_stress_inputs(cfg, n_steps, seed=0):
+    """Clutter-heavy measurement stream + wandering controls."""
+    rng = np.random.default_rng(seed)
+    m = cfg.maxMeasurements
+    rb = np.zeros((n_steps, m, 2), np.float32)
+    valid = np.zeros((n_steps, m), bool)
+    k = int(m * 0.9)
+    rb[:, :k, 0] = rng.uniform(0.5, cfg.maxRange, (n_steps, k))
+    rb[:, :k, 1] = rng.uniform(-cfg.maxBearing, cfg.maxBearing, (n_steps, k))
+    valid[:, :k] = True
+    controls = np.zeros((n_steps, 2), np.float32)
+    controls[:, 0] = 1.5
+    controls[:, 1] = 0.1 * np.sin(np.arange(n_steps) / 10.0)
+    return rb, valid, controls
+
+
+def bench_tpu(cfg, n_steps=12, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import slam_step
+
+    rb, valid, controls = make_stress_inputs(cfg, n_steps)
+    state = SlamState.create(cfg)
+    key = jax.random.PRNGKey(0)
+    labels = jnp.zeros((cfg.maxMeasurements,), jnp.int32)
+
+    def one(state, key, t):
+        z = Measurements(rb=jnp.asarray(rb[t]), label=labels,
+                         valid=jnp.asarray(valid[t]))
+        u = (jnp.float32(controls[t, 0]), jnp.float32(controls[t, 1]))
+        return slam_step(state, key, u, z, jnp.float32(cfg.dt),
+                         jnp.asarray(t > 0), cfg)
+
+    # warmup (compile + map fill-in)
+    for t in range(warmup):
+        key, sk = jax.random.split(key)
+        state, aux = one(state, sk, t)
+    jax.block_until_ready(state.log_weights)
+
+    t0 = time.perf_counter()
+    for t in range(warmup, n_steps):
+        key, sk = jax.random.split(key)
+        state, aux = one(state, sk, t)
+    jax.block_until_ready(state.log_weights)
+    ms = (time.perf_counter() - t0) / (n_steps - warmup) * 1000.0
+    assert np.isfinite(float(aux.neff)), "NaN in benchmark run"
+    return ms
+
+
+def bench_cpu_reference(cfg, n_particles=32, n_steps=4):
+    """CPU reference path ms/step at a small particle count, extrapolated
+    linearly in particle count (the algorithm is independent per particle)."""
+    from phdslam_tpu import reference_cpu as R
+
+    cfg_small = cfg.replace(n_particles=n_particles)
+    rb, valid, controls = make_stress_inputs(cfg_small, n_steps + 1)
+    meas = [rb[t][valid[t]] for t in range(n_steps + 1)]
+    # one step of warm-in so maps are non-empty
+    t0 = time.perf_counter()
+    R.run(cfg_small, controls[1:], meas, seed=0)
+    total = time.perf_counter() - t0
+    return total / (n_steps + 1) * 1000.0, n_particles
+
+
+def main():
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.utils import ensure_backend
+    ensure_backend()
+
+    stress = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=8192, maxFeatures=512, maxMeasurements=64,
+        y0=0.0, birthWeight=1e-3, clutterRate=50.0)
+
+    quick = "--quick" in sys.argv
+    if quick:
+        stress = stress.replace(n_particles=512, maxFeatures=128)
+
+    ms_tpu = bench_tpu(stress)
+    cpu_ms, cpu_p = bench_cpu_reference(stress)
+    cpu_ms_extrap = cpu_ms * (stress.n_particles / cpu_p)
+    speedup = cpu_ms_extrap / ms_tpu
+    updates_per_sec = stress.n_particles / (ms_tpu / 1000.0)
+
+    print(json.dumps({
+        "metric": f"ms_per_slam_step_{stress.n_particles}p",
+        "value": round(ms_tpu, 3),
+        "unit": "ms",
+        "vs_baseline": round(speedup, 2),
+        "particle_updates_per_sec": round(updates_per_sec),
+        "cpu_reference_ms_extrapolated": round(cpu_ms_extrap, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,8 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from phdslam_tpu.config import SlamConfig, load_config
-from phdslam_tpu.filter.state import SlamState, GaussianMixture
+from phdslam_tpu.filter.state import (SlamState, GaussianMixture,
+                                      Gaussian2DMixture)
 
 __version__ = "0.1.0"
 
@@ -34,4 +35,5 @@ __all__ = [
     "load_config",
     "SlamState",
     "GaussianMixture",
+    "Gaussian2DMixture",
 ]

@@ -25,13 +25,16 @@ from flax import struct
 
 @struct.dataclass
 class GaussianMixture:
-    """Padded Gaussian mixture: weights 0 mark empty slots.
+    """Padded Gaussian mixture (array-of-structs): weights 0 = empty slots.
 
     w    [..., F]        linear-space weights (reference keeps map weights
                          linear too; log-space appears only transiently in
                          the pre-update, src/phdfilter.cu:384-388)
     mean [..., F, d]
     cov  [..., F, d, d]
+
+    Used for the 4-D dynamic map (small) and host-side tooling. The hot 2-D
+    static map uses the channelized ``Gaussian2DMixture`` below.
     """
 
     w: jax.Array
@@ -69,6 +72,68 @@ class GaussianMixture:
 
 
 @struct.dataclass
+class Gaussian2DMixture:
+    """Channelized (structure-of-arrays) padded 2-D Gaussian mixture.
+
+    Every field is a [..., F] scalar array: weight, mean (mx, my), and the
+    symmetric covariance (c00, c01, c11). On TPU, array-of-structs layouts
+    like [P, F, 2, 2] put the tiny matrix dims into the tiled minor
+    positions and pad 64x in HBM (measured: a 64 MB covariance array
+    occupying 4 GB); scalar channels tile perfectly and keep every
+    elementwise Kalman/merge expression in clean [8,128]-shaped VPU work.
+    This mirrors how the reference's Maple-expanded scalar kernels treat
+    the 2x2 blocks (src/phdfilter.cu:332-364).
+    """
+
+    w: jax.Array
+    mx: jax.Array
+    my: jax.Array
+    c00: jax.Array
+    c01: jax.Array
+    c11: jax.Array
+
+    @property
+    def max_features(self) -> int:
+        return self.w.shape[-1]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.w > 0
+
+    @property
+    def cardinality(self) -> jax.Array:
+        return jnp.sum(self.w, axis=-1)
+
+    # --- assembly views (host/tooling; avoid inside hot jit code) ---
+    @property
+    def mean(self) -> jax.Array:
+        return jnp.stack([self.mx, self.my], axis=-1)
+
+    @property
+    def cov(self) -> jax.Array:
+        return jnp.stack(
+            [jnp.stack([self.c00, self.c01], axis=-1),
+             jnp.stack([self.c01, self.c11], axis=-1)], axis=-2)
+
+    @classmethod
+    def empty(cls, batch_shape, max_features: int,
+              dtype=jnp.float32) -> "Gaussian2DMixture":
+        bs = tuple(batch_shape)
+        z = jnp.zeros(bs + (max_features,), dtype)
+        one = jnp.ones(bs + (max_features,), dtype)
+        return cls(w=z, mx=z, my=z, c00=one, c01=z, c11=one)
+
+    @classmethod
+    def from_arrays(cls, w, mean, cov) -> "Gaussian2DMixture":
+        return cls(w=jnp.asarray(w),
+                   mx=jnp.asarray(mean[..., 0]),
+                   my=jnp.asarray(mean[..., 1]),
+                   c00=jnp.asarray(cov[..., 0, 0]),
+                   c01=jnp.asarray(0.5 * (cov[..., 0, 1] + cov[..., 1, 0])),
+                   c11=jnp.asarray(cov[..., 1, 1]))
+
+
+@struct.dataclass
 class SlamState:
     """Full Rao-Blackwellized particle filter state (one pytree).
 
@@ -80,7 +145,7 @@ class SlamState:
 
     pose: jax.Array            # [P, 6]
     log_weights: jax.Array     # [P], log-space, normalized after update
-    map_static: GaussianMixture    # [P, F, 2]
+    map_static: Gaussian2DMixture  # [P, F] channels
     map_dynamic: GaussianMixture   # [P, Fd, 4]
     resample_idx: jax.Array    # [P] int32
     variances: jax.Array       # [P]
@@ -108,7 +173,7 @@ class SlamState:
         return cls(
             pose=pose,
             log_weights=jnp.full((n,), -jnp.log(float(n)), dtype),
-            map_static=GaussianMixture.empty((n,), f_static, 2, dtype),
+            map_static=Gaussian2DMixture.empty((n,), f_static, dtype),
             map_dynamic=GaussianMixture.empty((n,), f_dynamic, 4, dtype),
             resample_idx=jnp.arange(n, dtype=jnp.int32),
             variances=jnp.zeros((n,), dtype),

@@ -6,23 +6,30 @@ The TPU-native re-design of the reference's update path
   reference (dynamic shapes, host staging)      this module (static shapes)
   ------------------------------------------    ---------------------------
   computeInRangeKernel + host 3-way split       per-(P,F) range-class masks
-  preUpdateSynthKernel (thread/feature x        batched [P,F] Kalman terms +
-    loop over <=256 const-mem measurements)       [P,M,F] log-likelihoods
+  preUpdateSynthKernel (thread/feature x        channelized [P,F] Kalman
+    loop over <=256 const-mem measurements)       terms + [P,M,F] likelihoods
   phdUpdateKernel (block/particle; update       per-(P,M) normalizers via
     array [nondet|detect|births])                 masked sums; weights stay
                                                   factored (nondet/det/birth)
   merge_flags + thrust prune                    weight thresholding (w -> 0)
-  recombine + phdUpdateMergeKernel              top-K candidate pool ->
-                                                  bounded greedy merge
+  recombine + phdUpdateMergeKernel              two-stage top-K candidate
+                                                  pool -> bounded greedy merge
   out-of-range pass-through concat              weight-ranked union back to
                                                   the padded [P,F] map
 
-Key structural observation exploited here: the Kalman gain, updated
-covariance, innovation covariance and its determinant depend only on the
-(particle, feature) pair — not on the measurement — so detection terms share
-per-feature covariances and only an [P,M,F] scalar likelihood plus [P,M,F,2]
-innovations are measurement-indexed. Means of surviving detection terms are
-recomputed after top-K selection instead of materializing [P,M,F] Gaussians.
+Layout: everything is channel-separated scalars ([P,F] / [P,K] arrays per
+Gaussian field) — the structure-of-arrays form of the reference's
+Maple-expanded 2x2 expressions (src/phdfilter.cu:332-364). On TPU this is
+load-bearing: array-of-structs [P,F,2,2] tensors put the tiny matrix dims
+into the tiled minor positions and pad 64x in HBM.
+
+Key structural observations exploited:
+ - Kalman gain / updated covariance / innovation covariance depend only on
+   the (particle, feature) pair — never on the measurement — so detection
+   terms share per-feature covariances and only an [P,M,F] scalar
+   log-likelihood is measurement-indexed.
+ - Means of surviving detection terms are recomputed after top-K selection
+   instead of materializing [P,M,F] Gaussians.
 """
 
 from __future__ import annotations
@@ -33,46 +40,43 @@ import jax
 import jax.numpy as jnp
 
 from phdslam_tpu.config import SlamConfig, STATIC_MEASUREMENT
-from phdslam_tpu.filter.state import GaussianMixture
-from phdslam_tpu.models.measurement import (
-    birth_gaussian,
-    measurement_jacobian,
-    predict_measurement,
-    range_class,
-)
-from phdslam_tpu.ops.gm import greedy_merge_batch, top_k_components
-from phdslam_tpu.ops.linalg import (
-    det2,
-    inv2,
-    safe_log,
-    sym2,
-    wrap_angle,
-)
+from phdslam_tpu.filter.state import Gaussian2DMixture
+from phdslam_tpu.models.measurement import predict_measurement, range_class
+from phdslam_tpu.ops.gm import greedy_merge_channels
+from phdslam_tpu.ops.linalg import safe_log, wrap_angle
 
 LOG_2PI = 1.8378770664093453
 
 
 class PreUpdate(NamedTuple):
-    """Measurement-independent Kalman terms per (particle, feature)."""
+    """Measurement-independent Kalman terms per (particle, feature), all
+    [P, F] scalar channels."""
 
-    r: jax.Array          # [P, F] predicted range
-    bearing: jax.Array    # [P, F] predicted bearing
-    pd: jax.Array         # [P, F] detection probability (0 if not in range)
-    gain: jax.Array       # [P, F, 2, 2] Kalman gain
-    cov_update: jax.Array # [P, F, 2, 2] Joseph-form updated covariance
-    s_inv: jax.Array      # [P, F, 2, 2] innovation covariance inverse
-    log_det_s: jax.Array  # [P, F]
-    rclass: jax.Array     # [P, F] 0=out, 1=in, 2=near (0 for empty slots)
+    r: jax.Array
+    bearing: jax.Array
+    pd: jax.Array
+    rclass: jax.Array            # 0=out, 1=in, 2=near (0 for empty slots)
+    g00: jax.Array               # Kalman gain
+    g01: jax.Array
+    g10: jax.Array
+    g11: jax.Array
+    u00: jax.Array               # Joseph-form updated covariance
+    u01: jax.Array
+    u11: jax.Array
+    si00: jax.Array              # innovation covariance inverse
+    si01: jax.Array
+    si11: jax.Array
+    log_det_s: jax.Array
 
 
-def kalman_preupdate(pose, gm: GaussianMixture, cfg: SlamConfig) -> PreUpdate:
+def kalman_preupdate(pose, gm: Gaussian2DMixture,
+                     cfg: SlamConfig) -> PreUpdate:
     """Per-(P,F) EKF pre-update terms (src/phdfilter.cu:301-395).
 
-    Innovation covariance is symmetrized exactly as the reference does; the
-    covariance update uses the Joseph form (I-KJ)P(I-KJ)^T + K R K^T, which
-    is the matrix form of the reference's Maple-expanded expressions.
+    Channelized form of: S = J P J^T + R (symmetrized), K = P J^T S^-1,
+    P' = (I-KJ) P (I-KJ)^T + K R K^T.
     """
-    mean_xy = gm.mean[..., :2]
+    mean_xy = jnp.stack([gm.mx, gm.my], axis=-1)
     r, b, dx, dy, r2 = predict_measurement(pose[:, None, :], mean_xy)
     rc = range_class(r, b, cfg)
     rc = jnp.where(gm.valid, rc, 0)
@@ -85,74 +89,103 @@ def kalman_preupdate(pose, gm: GaussianMixture, cfg: SlamConfig) -> PreUpdate:
     # masked weighted sums in the merge.
     dx = jnp.where(in_mask, dx, 1.0)
     dy = jnp.where(in_mask, dy, 0.0)
-    r2 = dx * dx + dy * dy
-    r_safe = jnp.sqrt(r2)
-    r2_safe = r2
-    jac = measurement_jacobian(dx, dy, r_safe, r2_safe)        # [P,F,2,2]
+    r2s = dx * dx + dy * dy
+    rs = jnp.sqrt(r2s)
 
-    p = gm.cov[..., :2, :2]
+    j00 = dx / rs
+    j01 = dy / rs
+    j10 = -dy / r2s
+    j11 = dx / r2s
+
+    p00, p01, p11 = gm.c00, gm.c01, gm.c11
     var_r = cfg.stdRange ** 2
     var_b = cfg.stdBearing ** 2
-    rmat = jnp.array([[var_r, 0.0], [0.0, var_b]], gm.w.dtype)
-    a = jnp.einsum("...ij,...jk,...lk->...il", jac, p, jac)  # J P J^T
-    sigma = sym2(a + rmat)
+
+    # A = J P J^T (symmetric)
+    a00 = j00 * (j00 * p00 + j01 * p01) + j01 * (j00 * p01 + j01 * p11)
+    a01 = j10 * (j00 * p00 + j01 * p01) + j11 * (j00 * p01 + j01 * p11)
+    a11 = j10 * (j10 * p00 + j11 * p01) + j11 * (j10 * p01 + j11 * p11)
+
+    s00 = a00 + var_r
+    s01 = a01
+    s11 = a11 + var_b
+
     # Cancellation-free determinant. The naive s00*s11 - s01^2 suffers
     # catastrophic float32 cancellation once feature covariances grow, which
     # feeds garbage Kalman gains back into the covariances (runaway). For
     # PSD A = J P J^T and diagonal R:
-    #   det(A + R) = det(A) + A00*var_b + A11*var_r + var_r*var_b
-    # and det(A) = det(J)^2 det(P) = det(P) / r^2  (det(J) = 1/r for the
-    # range-bearing Jacobian). Every term is nonnegative, and det(R) is a
-    # mathematically valid lower bound (det(A+B) >= det(A)+det(B) for PSD
-    # 2x2), used as the clamp floor.
-    det_p = jnp.maximum(det2(p), 0.0)
-    det_s = (det_p / r2_safe + a[..., 0, 0] * var_b
-             + a[..., 1, 1] * var_r + var_r * var_b)
+    #   det(A + R) = det(A) + a00*var_b + a11*var_r + var_r*var_b
+    # and det(A) = det(J)^2 det(P) = det(P) / r^2 (det(J) = 1/r for the
+    # range-bearing Jacobian). Every term is nonnegative; det(R) is a valid
+    # lower bound (det(X+Y) >= det(X)+det(Y) for PSD 2x2).
+    det_p = jnp.maximum(p00 * p11 - p01 * p01, 0.0)
+    det_s = (det_p / r2s + a00 * var_b + a11 * var_r + var_r * var_b)
     det_s = jnp.maximum(det_s, var_r * var_b)
-    s_inv = inv2(sigma, det_s)
-    # K = P J^T S^-1
-    gain = jnp.einsum("...ij,...kj,...kl->...il", p, jac, s_inv)
-    ikj = jnp.eye(2, dtype=gm.w.dtype) - jnp.einsum(
-        "...ij,...jk->...ik", gain, jac)
-    cov_up = (jnp.einsum("...ij,...jk,...lk->...il", ikj, p, ikj)
-              + jnp.einsum("...ij,jk,...lk->...il", gain, rmat, gain))
+
+    si00 = s11 / det_s
+    si01 = -s01 / det_s
+    si11 = s00 / det_s
+
+    # K = P J^T S^-1, with T = P J^T
+    t00 = p00 * j00 + p01 * j01
+    t01 = p00 * j10 + p01 * j11
+    t10 = p01 * j00 + p11 * j01
+    t11 = p01 * j10 + p11 * j11
+    g00 = t00 * si00 + t01 * si01
+    g01 = t00 * si01 + t01 * si11
+    g10 = t10 * si00 + t11 * si01
+    g11 = t10 * si01 + t11 * si11
+
+    # Joseph form: L = I - K J;  P' = L P L^T + K R K^T
+    l00 = 1.0 - (g00 * j00 + g01 * j10)
+    l01 = -(g00 * j01 + g01 * j11)
+    l10 = -(g10 * j00 + g11 * j10)
+    l11 = 1.0 - (g10 * j01 + g11 * j11)
+    q00 = l00 * p00 + l01 * p01
+    q01 = l00 * p01 + l01 * p11
+    q10 = l10 * p00 + l11 * p01
+    q11 = l10 * p01 + l11 * p11
+    u00 = q00 * l00 + q01 * l01 + g00 * g00 * var_r + g01 * g01 * var_b
+    u01 = q00 * l10 + q01 * l11 + g00 * g10 * var_r + g01 * g11 * var_b
+    u11 = q10 * l10 + q11 * l11 + g10 * g10 * var_r + g11 * g11 * var_b
+
     return PreUpdate(
-        r=r, bearing=b, pd=pd, gain=gain, cov_update=cov_up, s_inv=s_inv,
-        log_det_s=safe_log(jnp.maximum(det_s, 0.0)), rclass=rc)
+        r=r, bearing=b, pd=pd, rclass=rc,
+        g00=g00, g01=g01, g10=g10, g11=g11,
+        u00=u00, u01=u01, u11=u11,
+        si00=si00, si01=si01, si11=si11,
+        log_det_s=jnp.log(det_s))
 
 
-def detection_log_weights(pre: PreUpdate, gm: GaussianMixture, z_rb, z_label,
-                          z_valid, cfg: SlamConfig):
+def detection_log_weights(pre: PreUpdate, gm: Gaussian2DMixture, z_rb,
+                          z_label, z_valid, cfg: SlamConfig):
     """Log partial weights of detection terms, [P, M, F]
-    (src/phdfilter.cu:366-394):
-        log pd + log w + log N(innov; 0, S)
-    with N evaluated through the symmetrized S inverse.
-    Also returns innovations [P, M, F, 2] for mean reconstruction.
+    (src/phdfilter.cu:366-394):  log pd + log w + log N(innov; 0, S).
+
+    Innovations are recomputed on demand (cheap: z - h(x)) instead of being
+    materialized as a [P,M,F,2] tensor — at the dense-stress config that
+    tensor alone is >2 GB of HBM.
     """
     innov_r = z_rb[None, :, None, 0] - pre.r[:, None, :]
     innov_b = wrap_angle(z_rb[None, :, None, 1] - pre.bearing[:, None, :])
-    innov = jnp.stack([innov_r, innov_b], axis=-1)          # [P,M,F,2]
-    si = pre.s_inv[:, None]                                  # [P,1,F,2,2]
-    dist = (innov_r * innov_r * si[..., 0, 0]
-            + innov_r * innov_b * (si[..., 0, 1] + si[..., 1, 0])
-            + innov_b * innov_b * si[..., 1, 1])
+    dist = (innov_r * innov_r * pre.si00[:, None, :]
+            + 2.0 * innov_r * innov_b * pre.si01[:, None, :]
+            + innov_b * innov_b * pre.si11[:, None, :])
     lw = (safe_log(pre.pd)[:, None, :]
           + safe_log(gm.w)[:, None, :]
           - 0.5 * dist
           - LOG_2PI
           - 0.5 * pre.log_det_s[:, None, :])
-    # mask: in-range features, valid measurements, label gating
     in_mask = (pre.rclass == 1)[:, None, :]
     ok = in_mask & z_valid[None, :, None]
     if cfg.labeledMeasurements:
         ok = ok & (z_label[None, :, None] == STATIC_MEASUREMENT)
     neg_inf = jnp.asarray(-jnp.inf, lw.dtype)
-    lw = jnp.where(ok, lw, neg_inf)
-    return lw, innov
+    return jnp.where(ok, lw, neg_inf)
 
 
 class UpdateResult(NamedTuple):
-    map_out: GaussianMixture     # merged + pass-through map, [P, F]
+    map_out: Gaussian2DMixture   # merged + pass-through map, [P, F]
     log_weight_delta: jax.Array  # [P] multi-object likelihood increment
     # factored update-component weights, for variance estimation / debugging
     w_nondetect: jax.Array       # [P, F]
@@ -161,18 +194,18 @@ class UpdateResult(NamedTuple):
     pre: PreUpdate               # measurement-independent Kalman terms
 
 
-def phd_update_static(pose, gm: GaussianMixture, z_rb, z_label, z_valid,
+def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
                       cfg: SlamConfig) -> UpdateResult:
     """Full static-model PHD update for all particles.
 
-    pose [P,6]; gm: [P,F] 2-D mixture; z_rb [M,2]; z_valid [M] bool.
+    pose [P,6]; gm: [P,F] channelized 2-D mixture; z_rb [M,2]; z_valid [M].
     """
     P, F = gm.w.shape
     M = z_rb.shape[0]
     dtype = gm.w.dtype
 
     pre = kalman_preupdate(pose, gm, cfg)
-    lw, innov = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
+    lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
 
     # --- per-measurement normalizers (src/phdfilter.cu:2190-2223) ---
     # The reference sums raw exp() of the log partial weights, then adds
@@ -209,7 +242,8 @@ def phd_update_static(pose, gm: GaussianMixture, z_rb, z_label, z_valid,
         in_mask = pre.rclass == 1
         cn_predict = jnp.sum(jnp.where(in_mask, gm.w, 0.0), axis=-1)
         cn_update = (jnp.sum(w_nondetect, axis=-1)
-                     + jnp.sum(w_detect * mvalid[None, :, None], axis=(-2, -1))
+                     + jnp.sum(w_detect * mvalid[None, :, None],
+                               axis=(-2, -1))
                      + jnp.sum(w_birth * mvalid[None, :], axis=-1))
         dw = (n_measure * cfg.clutterDensity + cn_update - cn_predict
               - cfg.clutterRate)
@@ -221,75 +255,110 @@ def phd_update_static(pose, gm: GaussianMixture, z_rb, z_label, z_valid,
     w_birth_p = jnp.where(w_birth >= minw, w_birth, 0.0)
 
     # --- build the merge candidate pool ---------------------------------
-    # logical flat layout per particle:
-    #   [0,F)          : nearly-in-range originals (merged but not pruned,
-    #                     src/phdfilter.cu:3218-3257)
-    #   [F,2F)         : non-detection terms
-    #   [2F,2F+M*F)    : detection terms, index 2F + m*F + f
-    #   [2F+M*F, ...)  : birth terms
+    # Stage 1: per-measurement top-k1 over features. A measurement's
+    # normalized detection weights are concentrated on the few features
+    # inside its gate (post-merge features are >= minSeparation apart), so
+    # k1 slots per measurement lose only sub-prune-threshold mass while
+    # shrinking the global selection problem — and its sort workspace —
+    # by ~F/k1 (the [P, M*F] flat pool OOMs the dense-stress config).
+    k1 = min(16, F)
+    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)             # [P,M,k1]
+
+    # Stage 2: global top-K over the compacted flat pool:
+    #   [0,F)            : nearly-in-range originals (merged, not pruned,
+    #                       src/phdfilter.cu:3218-3257)
+    #   [F,2F)           : non-detection terms
+    #   [2F,2F+M*k1)     : detection terms, index 2F + m*k1 + j
+    #   [2F+M*k1, ...)   : birth terms
     w_near = jnp.where(pre.rclass == 2, gm.w, 0.0)
     w_pool = jnp.concatenate(
-        [w_near, w_nd_p, w_det_p.reshape(P, M * F), w_birth_p], axis=-1)
+        [w_near, w_nd_p, w_det_k.reshape(P, M * k1), w_birth_p], axis=-1)
 
     K = min(cfg.merge_pool_size, w_pool.shape[-1])
     top_w, top_idx = jax.lax.top_k(w_pool, K)                 # [P, K]
 
-    # decode candidate kind and reconstruct mean/cov per candidate
+    # decode candidate kind and reconstruct mean/cov channels per candidate
     is_near = top_idx < F
     is_nd = (top_idx >= F) & (top_idx < 2 * F)
-    is_det = (top_idx >= 2 * F) & (top_idx < 2 * F + M * F)
+    is_det = (top_idx >= 2 * F) & (top_idx < 2 * F + M * k1)
     f_near = jnp.clip(top_idx, 0, F - 1)
     f_nd = jnp.clip(top_idx - F, 0, F - 1)
-    det_off = jnp.clip(top_idx - 2 * F, 0, M * F - 1)
-    f_det = det_off % F
-    m_det = det_off // F
-    m_birth = jnp.clip(top_idx - 2 * F - M * F, 0, M - 1)
+    det_off = jnp.clip(top_idx - 2 * F, 0, M * k1 - 1)
+    m_det = det_off // k1
+    # map the per-measurement slot back to its original feature index
+    f_det = jnp.take_along_axis(
+        f_det_k.reshape(P, M * k1), det_off, axis=1)
+    m_birth = jnp.clip(top_idx - 2 * F - M * k1, 0, M - 1)
 
     f_orig = jnp.where(is_near, f_near, f_nd)                 # near/nondet
     f_any = jnp.where(is_det, f_det, f_orig)
 
-    def take_f(arr, idx):  # arr [P, F, ...] gather along F with [P,K] idx
-        extra = arr.ndim - 2
-        ix = idx.reshape(idx.shape + (1,) * extra)
-        return jnp.take_along_axis(arr, ix, axis=1)
+    take_f = lambda arr: jnp.take_along_axis(arr, f_any, axis=1)  # [P,K]
+    mx_f = take_f(gm.mx)
+    my_f = take_f(gm.my)
+    c00_f = take_f(gm.c00)
+    c01_f = take_f(gm.c01)
+    c11_f = take_f(gm.c11)
+    g00 = take_f(pre.g00)
+    g01 = take_f(pre.g01)
+    g10 = take_f(pre.g10)
+    g11 = take_f(pre.g11)
+    u00 = take_f(pre.u00)
+    u01 = take_f(pre.u01)
+    u11 = take_f(pre.u11)
+    # recompute the innovation for just the K selected (m, f) pairs
+    r_f = take_f(pre.r)
+    b_f = take_f(pre.bearing)
+    m_safe = jnp.clip(m_det, 0, M - 1)
+    innov_r = z_rb[:, 0][m_safe] - r_f                        # [P,K]
+    innov_b = wrap_angle(z_rb[:, 1][m_safe] - b_f)
+    mx_det = mx_f + g00 * innov_r + g01 * innov_b
+    my_det = my_f + g10 * innov_r + g11 * innov_b
 
-    mean_f = take_f(gm.mean[..., :2], f_any)                  # [P,K,2]
-    cov_f = take_f(gm.cov[..., :2, :2], f_any)                # [P,K,2,2]
-    gain_f = take_f(pre.gain, f_any)
-    cov_up_f = take_f(pre.cov_update, f_any)
-    innov_mf = jnp.take_along_axis(
-        innov.reshape(P, M * F, 2), det_off[..., None], axis=1)  # [P,K,2]
-
-    mean_det = mean_f + jnp.einsum("...ij,...j->...i", gain_f, innov_mf)
-
-    # births: [P, M] gaussians from inverse measurement
-    b_mean, b_cov = birth_gaussian(pose[:, None, :], z_rb[None, :, :], cfg)
-    mean_b = jnp.take_along_axis(b_mean, m_birth[..., None], axis=1)
-    cov_b = jnp.take_along_axis(b_cov, m_birth[..., None, None], axis=1)
+    # births at the selected measurement slots, channelized closed form
+    # (computeBirth, src/phdfilter.cu:205-242): J columns (cos t, sin t) and
+    # (-dy, dx) — exact for zero/negative ranges too
+    z_r_b = z_rb[:, 0][m_birth]                               # [P,K]
+    theta_b = pose[:, None, 2] + z_rb[:, 1][m_birth]
+    ct, st = jnp.cos(theta_b), jnp.sin(theta_b)
+    bdx = z_r_b * ct
+    bdy = z_r_b * st
+    mx_b = pose[:, None, 0] + bdx
+    my_b = pose[:, None, 1] + bdy
+    var_rb = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
+    var_bb = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
+    b00 = ct * ct * var_rb + bdy * bdy * var_bb
+    b01 = ct * st * var_rb - bdy * bdx * var_bb
+    b11 = st * st * var_rb + bdx * bdx * var_bb
 
     is_orig = is_near | is_nd
-    cand_mean = jnp.where(
-        is_orig[..., None], mean_f,
-        jnp.where(is_det[..., None], mean_det, mean_b))
-    cand_cov = jnp.where(
-        is_orig[..., None, None], cov_f,
-        jnp.where(is_det[..., None, None], cov_up_f, cov_b))
+    pick3 = lambda orig, det, birth: jnp.where(
+        is_orig, orig, jnp.where(is_det, det, birth))
+    cand_mx = pick3(mx_f, mx_det, mx_b)
+    cand_my = pick3(my_f, my_det, my_b)
+    cand_00 = pick3(c00_f, u00, b00)
+    cand_01 = pick3(c01_f, u01, b01)
+    cand_11 = pick3(c11_f, u11, b11)
     cand_w = jnp.maximum(top_w, 0.0)
 
     # --- greedy merge (src/phdfilter.cu:2707-2898) ------------------------
-    merged_w, merged_mean, merged_cov = greedy_merge_batch(
-        cand_w, cand_mean, cand_cov, cfg.minSeparation, F,
-        metric=cfg.distanceMetric)
+    mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
+        cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
+        cfg.minSeparation, F, metric=cfg.distanceMetric)
 
     # --- union with out-of-range pass-through (src/phdfilter.cu:3258-3291)
     w_out_range = jnp.where(pre.rclass == 0, gm.w, 0.0)
-    union_w = jnp.concatenate([merged_w, w_out_range], axis=-1)
-    union_mean = jnp.concatenate([merged_mean, gm.mean[..., :2]], axis=-2)
-    union_cov = jnp.concatenate([merged_cov, gm.cov[..., :2, :2]], axis=-3)
-    final_w, final_mean, final_cov = top_k_components(
-        union_w, union_mean, union_cov, F)
+    union = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    top_uw, u_idx = jax.lax.top_k(union(mw, w_out_range), F)  # [P,F]
+    take_u = lambda a, b: jnp.take_along_axis(union(a, b), u_idx, axis=1)
+    map_out = Gaussian2DMixture(
+        w=top_uw,
+        mx=take_u(mmx, gm.mx),
+        my=take_u(mmy, gm.my),
+        c00=take_u(m00, gm.c00),
+        c01=take_u(m01, gm.c01),
+        c11=take_u(m11, gm.c11))
 
-    map_out = GaussianMixture(w=final_w, mean=final_mean, cov=final_cov)
     return UpdateResult(
         map_out=map_out,
         log_weight_delta=dw,
@@ -300,8 +369,9 @@ def phd_update_static(pose, gm: GaussianMixture, z_rb, z_label, z_valid,
     )
 
 
-def phd_variance(key, result: UpdateResult, pose, gm_prior: GaussianMixture,
-                 z_rb, z_valid, cfg: SlamConfig):
+def phd_variance(key, result: UpdateResult, pose,
+                 gm_prior: Gaussian2DMixture, z_rb, z_valid,
+                 cfg: SlamConfig):
     """Monte-Carlo PHD variance estimate per particle
     (phdVarianceKernel, src/phdfilter.cu:2643-2705).
 
@@ -333,7 +403,7 @@ def phd_variance(key, result: UpdateResult, pose, gm_prior: GaussianMixture,
     mvalid = z_valid.astype(dtype)                              # [M]
 
     # non-detection terms keep the prior covariance
-    det_nd = det2(gm_prior.cov[..., :2, :2])
+    det_nd = gm_prior.c00 * gm_prior.c11 - gm_prior.c01 ** 2
     v_nd = vals(k1, det_nd, (P, F))                             # [P,F,S]
     var = jnp.sum(jnp.where(in_mask[..., None], v_nd, 0.0), axis=(1, 2))
 
@@ -342,16 +412,23 @@ def phd_variance(key, result: UpdateResult, pose, gm_prior: GaussianMixture,
     # draws are iid given the covariance, summing over measurements equals
     # n_measure * E[v(1-v)] in expectation — we reuse one draw set per
     # feature and scale by the valid-measurement count to bound memory at
-    # [P,F,S] instead of [P,F,M,S].
-    det_up = det2(pre.cov_update)
+    # [P,F,S] instead of [P,M,F,S].
+    det_up = pre.u00 * pre.u11 - pre.u01 ** 2
     v_det = vals(k2, det_up, (P, F))                            # [P,F,S]
     g = v_det * (1.0 - v_det) * in_mask[..., None]
     var += jnp.sum(mvalid) * jnp.sum(g, axis=(1, 2))
 
-    # birth terms
-    from phdslam_tpu.models.measurement import birth_gaussian
-    _, b_cov = birth_gaussian(pose[:, None, :], z_rb[None, :, :], cfg)
-    v_b = vals(k3, det2(b_cov), (P, M))                         # [P,M,S]
+    # birth terms (channelized det of the birth covariance)
+    theta = pose[:, None, 2] + z_rb[None, :, 1]
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    bdx = z_rb[None, :, 0] * ct
+    bdy = z_rb[None, :, 0] * st
+    var_rb = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
+    var_bb = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
+    b00 = ct * ct * var_rb + bdy * bdy * var_bb
+    b01 = ct * st * var_rb - bdy * bdx * var_bb
+    b11 = st * st * var_rb + bdx * bdx * var_bb
+    v_b = vals(k3, b00 * b11 - b01 * b01, (P, M))               # [P,M,S]
     gb = v_b * (1.0 - v_b) * mvalid[None, :, None]
     var += jnp.sum(gb, axis=(1, 2))
     return var

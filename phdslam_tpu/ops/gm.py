@@ -111,10 +111,98 @@ def greedy_merge(w, mean, cov, min_separation, max_out: int,
 
 def greedy_merge_batch(w, mean, cov, min_separation, max_out: int,
                        metric: int = 0):
-    """vmap of ``greedy_merge`` over a leading particle axis."""
-    return jax.vmap(
-        lambda wi, mi, ci: greedy_merge(wi, mi, ci, min_separation, max_out,
-                                        metric))(w, mean, cov)
+    """Batched greedy merge (array-of-structs API over the channel core)."""
+    mx, my = mean[..., 0], mean[..., 1]
+    c00 = cov[..., 0, 0]
+    c01 = 0.5 * (cov[..., 0, 1] + cov[..., 1, 0])
+    c11 = cov[..., 1, 1]
+    ow, omx, omy, o00, o01, o11 = greedy_merge_channels(
+        w, mx, my, c00, c01, c11, min_separation, max_out, metric)
+    mean_out = jnp.stack([omx, omy], axis=-1)
+    cov_out = jnp.stack(
+        [jnp.stack([o00, o01], axis=-1), jnp.stack([o01, o11], axis=-1)],
+        axis=-2)
+    return ow, mean_out, cov_out
+
+
+def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
+                          max_out: int, metric: int = 0):
+    """Batched greedy merge in structure-of-arrays (channel-separated)
+    layout.
+
+    Semantically identical to vmapping ``greedy_merge`` over particles, but
+    every array in the while-loop carries the big axes (P, K) last/innermost
+    and scalar channels (mx, my, c00, c01, c11) separately. On TPU, the
+    naive [P, K, 2, 2] layout puts the tiny matrix dims in the tiled minor
+    positions and pads 64x (measured: 136 MB of candidates ballooning to
+    8.5 GB of HBM at the dense-stress config); the channel layout tiles
+    perfectly.
+
+    Returns channel outputs (w, mx, my, c00, c01, c11), each [P, max_out].
+    """
+    P, K = w.shape
+    dtype = w.dtype
+    col = jnp.arange(K)
+
+    def body(carry):
+        i, w_rem, ow, omx, omy, o00, o01, o11 = carry
+        pick = jnp.argmax(w_rem, axis=1)                      # [P]
+        take = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)
+        rmx, rmy = take(mx), take(my)
+        r00, r01, r11 = take(c00), take(c01), take(c11)
+        a00 = 0.5 * (r00 + c00)
+        a01 = 0.5 * (r01 + c01)
+        a11 = 0.5 * (r11 + c11)
+        dx = rmx - mx
+        dy = rmy - my
+        if metric == 1:
+            # Hellinger (device_math.cuh:388-413)
+            s00, s01, s11 = r00 + c00, r01 + c01, r11 + c11
+            det_sum = s00 * s11 - s01 * s01
+            safe = jnp.maximum(det_sum, 1.17549435e-38)
+            eps_q = -0.25 * (dx * dx * s11 - 2 * dx * dy * s01
+                             + dy * dy * s00) / safe
+            det_prod = ((r00 * c00 + r01 * c01) * (r01 * c01 + r11 * c11)
+                        - (r00 * c01 + r01 * c11) * (r01 * c00 + r11 * c01))
+            dist = 1.0 - jnp.sqrt(
+                jnp.maximum(jnp.sqrt(jnp.maximum(det_prod, 0.0))
+                            / (det_sum / 4.0), 0.0)) * jnp.exp(eps_q)
+        else:
+            det = a00 * a11 - a01 * a01
+            dist = (dx * dx * a11 - 2 * dx * dy * a01 + dy * dy * a00) / det
+        sel = (dist < min_separation) & (w_rem > 0)
+        sel = sel | (col[None, :] == pick[:, None])
+        active = jnp.any(w_rem > 0, axis=1)                   # [P]
+        sel = sel & active[:, None]
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw, axis=1)                            # [P]
+        inv = jnp.where(wsum > 0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
+        mux = jnp.sum(sw * mx, axis=1) * inv
+        muy = jnp.sum(sw * my, axis=1) * inv
+        ddx = mux[:, None] - mx
+        ddy = muy[:, None] - my
+        n00 = jnp.sum(sw * (c00 + ddx * ddx), axis=1) * inv
+        n01 = jnp.sum(sw * (c01 + ddx * ddy), axis=1) * inv
+        n11 = jnp.sum(sw * (c11 + ddy * ddy), axis=1) * inv
+        ow = jax.lax.dynamic_update_index_in_dim(ow, wsum, i, 1)
+        omx = jax.lax.dynamic_update_index_in_dim(omx, mux, i, 1)
+        omy = jax.lax.dynamic_update_index_in_dim(omy, muy, i, 1)
+        o00 = jax.lax.dynamic_update_index_in_dim(o00, n00, i, 1)
+        o01 = jax.lax.dynamic_update_index_in_dim(o01, n01, i, 1)
+        o11 = jax.lax.dynamic_update_index_in_dim(o11, n11, i, 1)
+        w_rem = jnp.where(sel, 0.0, w_rem)
+        return i + 1, w_rem, ow, omx, omy, o00, o01, o11
+
+    def cond(carry):
+        i, w_rem, *_ = carry
+        return (i < max_out) & jnp.any(w_rem > 0)
+
+    zeros = jnp.zeros((P, max_out), dtype)
+    init = (jnp.array(0, jnp.int32), w, zeros, zeros, zeros,
+            jnp.ones((P, max_out), dtype), zeros,
+            jnp.ones((P, max_out), dtype))
+    _, _, ow, omx, omy, o00, o01, o11 = jax.lax.while_loop(cond, body, init)
+    return ow, omx, omy, o00, o01, o11
 
 
 def reduce_mixture_np(w, mean, cov, min_separation):

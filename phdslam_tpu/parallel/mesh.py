@@ -1,0 +1,95 @@
+"""Particle-axis sharding over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md section 2.4); the distributed
+axis is new in this rebuild. The natural data-parallel axis of RBPF SLAM is
+the particle index: every per-particle quantity (pose, map, weight) shards
+over the mesh, measurements and config replicate, and only three global
+reductions cross devices each step:
+
+  1. logsumexp of particle log-weights (weight normalization,
+     the distributed analog of src/phdfilter.cu:3749-3755) -> all-reduce
+  2. nEff + the expected pose (weighted means) -> all-reduce
+  3. resampling: stratified index computation needs the global cumulative
+     weight vector (tiny: one scalar per particle -> all-gather), while the
+     subsequent particle gather moves whole maps across devices. XLA lowers
+     the jnp.take into the needed collective ops; locality-preferring
+     resampling (per-shard residual resampling) is a planned optimization.
+
+Everything runs through the same `slam_step` used on one chip — sharding is
+expressed entirely with NamedSharding annotations, XLA inserts collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from phdslam_tpu.filter.state import Measurements, SlamState
+
+PARTICLE_AXIS = "particles"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        # fall back to the (possibly virtual-multi-device) CPU backend —
+        # needed where an experimental TPU plugin pins the default backend
+        # to a single chip regardless of JAX_PLATFORMS
+        devs = jax.local_devices(backend="cpu")
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (PARTICLE_AXIS,))
+
+
+def particle_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(PARTICLE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(state: SlamState, mesh: Mesh):
+    """A SlamState pytree of shardings: every leaf shards on its leading
+    (particle) axis."""
+    shard = particle_sharding(mesh)
+
+    def spec(leaf):
+        ndim = np.ndim(leaf)
+        return NamedSharding(mesh, P(PARTICLE_AXIS, *([None] * (ndim - 1))))
+
+    return jax.tree.map(spec, state)
+
+
+def shard_state(state: SlamState, mesh: Mesh) -> SlamState:
+    """Place a SlamState across the mesh, particle axis sharded."""
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
+def replicate_measurements(z: Measurements, mesh: Mesh) -> Measurements:
+    return jax.device_put(z, replicated(mesh))
+
+
+def sharded_step(cfg, mesh: Mesh):
+    """Return a jit-compiled slam_step whose state inputs/outputs are pinned
+    to the particle sharding (donated to avoid copies on the big maps)."""
+    from functools import partial
+
+    from phdslam_tpu.filter.step import slam_step
+
+    rep = replicated(mesh)
+
+    def step(state, key, control, z, dt, do_predict):
+        return slam_step(state, key, control, z, dt, do_predict, cfg)
+
+    dummy = SlamState.create(cfg)
+    st_shard = state_shardings(dummy, mesh)
+    return jax.jit(
+        step,
+        in_shardings=(st_shard, rep, (rep, rep),
+                      jax.tree.map(lambda _: rep, Measurements(
+                          rb=0, label=0, valid=0)), rep, rep),
+        out_shardings=(st_shard, None),
+        donate_argnums=(0,),
+    )

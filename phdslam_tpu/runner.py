@@ -246,6 +246,9 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
+    from phdslam_tpu.utils import ensure_backend
+    ensure_backend()
+
     cfg = load_config(args.config)
     if args.run_type == "disparity":
         from phdslam_tpu.filter.disparity import run_disparity

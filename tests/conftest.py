@@ -4,7 +4,6 @@ compiles are expensive — the cache makes re-runs fast)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,11 @@ import numpy as np
 import pytest
 
 import jax
+
+# NB: on this machine the experimental 'axon' TPU plugin overrides the
+# JAX_PLATFORMS env var — the config API is the only reliable way to pin the
+# test suite to the (8-virtual-device) CPU backend.
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -7,7 +7,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from phdslam_tpu.filter.state import GaussianMixture
+from phdslam_tpu.filter.state import Gaussian2DMixture
 from phdslam_tpu.filter.update import phd_update_static
 from phdslam_tpu import reference_cpu as R
 
@@ -40,8 +40,7 @@ def test_update_matches_cpu_oracle(tiny_cfg, weighting):
     pose, w, mean, cov, z, z_rb, z_valid = _setup(cfg)
     P = pose.shape[0]
 
-    gm = GaussianMixture(w=jnp.asarray(w), mean=jnp.asarray(mean),
-                         cov=jnp.asarray(cov))
+    gm = Gaussian2DMixture.from_arrays(w, mean, cov)
     res = phd_update_static(
         jnp.asarray(pose), gm, jnp.asarray(z_rb),
         jnp.zeros(cfg.maxMeasurements, jnp.int32), jnp.asarray(z_valid), cfg)
@@ -83,7 +82,7 @@ def test_update_empty_map_births_only(tiny_cfg):
     M = cfg.maxMeasurements
     P = 2
     pose = jnp.zeros((P, 6))
-    gm = GaussianMixture.empty((P,), cfg.maxFeatures, 2)
+    gm = Gaussian2DMixture.empty((P,), cfg.maxFeatures)
     z_rb = jnp.zeros((M, 2)).at[0].set(jnp.asarray([4.0, 0.2])) \
         .at[1].set(jnp.asarray([2.0, -0.5]))
     z_valid = jnp.zeros((M,), bool).at[:2].set(True)
@@ -110,8 +109,8 @@ def test_update_no_measurements_noop_weights(tiny_cfg):
     P, F, M = 2, cfg.maxFeatures, cfg.maxMeasurements
     pose = jnp.zeros((P, 6))
     w = jnp.zeros((P, F)).at[:, 0].set(0.5)
-    gm = GaussianMixture(w=w, mean=jnp.ones((P, F, 2)),
-                         cov=jnp.tile(jnp.eye(2), (P, F, 1, 1)))
+    gm = Gaussian2DMixture.from_arrays(
+        w, jnp.ones((P, F, 2)), jnp.tile(jnp.eye(2), (P, F, 1, 1)))
     res = phd_update_static(pose, gm, jnp.zeros((M, 2)),
                             jnp.zeros(M, jnp.int32), jnp.zeros(M, bool), cfg)
     assert np.isfinite(np.asarray(res.map_out.w)).all()
