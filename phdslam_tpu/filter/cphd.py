@@ -1,0 +1,392 @@
+"""CPHD (Cardinalized PHD) filter pipeline.
+
+Rebuild of the reference's dormant CPHD implementation (live code in
+src/phdfilter.cu.bak; the same kernels sit commented-out in
+src/phdfilter.cu:700-1822). Per Vo's analytic CPHD:
+
+  constants    initCphdConstants / cphdConstantsKernel (.bak:370-449):
+               log factorials, log binomial table, Poisson clutter
+               cardinality
+  predict      cardinalityPredictKernel (.bak:512-545): log-domain
+               convolution of prior cardinality with birth cardinality
+  births       birthsKernel (.bak:737-856): birth Gaussians added to the map
+               *before* the update (optionally gated to measurements not
+               explained by existing features, config keys gate_births /
+               gate_threshold, src/main.cpp:997-999) + binomial birth
+               cardinality B(k; n_births, birthWeight)
+  pre-update   cphdPreUpdateKernel (.bak:1058-1184): same Kalman terms as
+               the PHD path plus qdw_f = log(1-pd_f) + log w_f
+  ESF          computeEsfKernel (.bak:1194-1286): elementary symmetric
+               functions of Lambda_m = kappa^-1 * lambda_c * sum_f exp(lw),
+               full and with each measurement deleted. NOTE: the reference's
+               deleted-ESF recursion subtracts terms while rebuilding from
+               scratch (.bak:1263-1272), which is neither the build-up (+)
+               nor the deflation recursion — we compute the mathematically
+               correct per-deleted-measurement build-up instead.
+  Psi          computePsiKernel (.bak:1286-1430): Psi0/Psi1/Psi1d inner
+               products with the predicted cardinality; posterior
+               cardinality cn_update = cn_predict + psi0 - <Psi0,cn>
+  update       cphdUpdateKernel (.bak:1436-1478): detection weights scaled
+               by exp(<Psi1d_z,cn> - <Psi0,cn>) * lambda_c/kappa, nondetect
+               weights by exp(<Psi1,cn> - <Psi0,cn>) * (1-pd); particle
+               weight increment = <Psi0,cn> (.bak:2663-2668)
+
+All fixed-shape: padded measurements contribute Lambda = 0 (exp(LOG0)),
+which the ESF recursion ignores naturally.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.filter.state import Gaussian2DMixture
+from phdslam_tpu.filter.update import (
+    detection_log_weights,
+    kalman_preupdate,
+)
+from phdslam_tpu.ops.gm import greedy_merge_channels
+from phdslam_tpu.ops.linalg import safe_log
+
+NEG_INF = -jnp.inf
+
+
+class CphdConstants(NamedTuple):
+    log_factorial: jax.Array   # [N+1]
+    log_binomial: jax.Array    # [N+1, N+1], [n, k] = log C(n, k)
+    log_cn_clutter: jax.Array  # [N+1] Poisson(clutterRate) log-pmf
+
+
+def make_constants(cfg: SlamConfig) -> CphdConstants:
+    n = cfg.maxCardinality + 1
+    lf = jnp.cumsum(jnp.log(jnp.maximum(jnp.arange(n), 1.0)))
+    ns = jnp.arange(n)[:, None]
+    ks = jnp.arange(n)[None, :]
+    lbin = jnp.where(ks <= ns, lf[ns] - lf[ks] - lf[jnp.maximum(ns - ks, 0)],
+                     NEG_INF)
+    lam = cfg.clutterRate
+    cn_clutter = jnp.arange(n) * safe_log(jnp.asarray(lam)) - lam - lf
+    return CphdConstants(log_factorial=lf, log_binomial=lbin,
+                         log_cn_clutter=cn_clutter)
+
+
+def cardinality_predict(cn_prior, cn_birth):
+    """Log-domain convolution (cardinalityPredictKernel,
+    src/phdfilter.cu:867-888): cn_pred[n] = lse_j<=n (birth[n-j] + prior[j]).
+
+    cn_prior [..., N+1] log-pmf; cn_birth broadcastable [..., N+1].
+    """
+    n = cn_prior.shape[-1]
+    ns = jnp.arange(n)[:, None]
+    js = jnp.arange(n)[None, :]
+    mask = js <= ns
+    idx = jnp.clip(ns - js, 0, n - 1)                  # [n, j]
+    b = jnp.take(cn_birth, idx, axis=-1)               # [..., n, j]
+    full = jnp.where(mask, b + cn_prior[..., None, :], NEG_INF)
+    return jax.scipy.special.logsumexp(full, axis=-1)
+
+
+def birth_cardinality(n_births, birth_weight, consts: CphdConstants):
+    """Binomial birth cardinality B(k; n, p) in log domain
+    (birthsKernel, src/phdfilter.cu.bak:776-791). n_births may be traced
+    (per-particle when births are gated)."""
+    nmax = consts.log_factorial.shape[0]
+    k = jnp.arange(nmax)
+    n = n_births
+    lf = consts.log_factorial
+    n_i = jnp.asarray(n, jnp.int32)
+    lbin = (lf[n_i] - lf[jnp.minimum(k, n_i)]
+            - lf[jnp.maximum(n_i - k, 0)])
+    p = jnp.asarray(birth_weight, jnp.float32)
+    out = lbin + k * safe_log(p) + (n_i - k) * safe_log(1.0 - p)
+    return jnp.where(k <= n_i, out, NEG_INF)
+
+
+def esf_log(log_lambda):
+    """Elementary symmetric functions of {exp(log_lambda_m)} in log domain.
+
+    Returns [M+1] log-esf coefficients (esf[0] = 0 == log 1). The standard
+    Vieta build-up e_k <- e_k + Lambda_j * e_{k-1} as a `lax.scan` over
+    measurements (the reference's in-shared-memory recursion,
+    .bak:1233-1247). Entries with log_lambda = -inf contribute nothing, so
+    padded measurement slots are handled for free.
+    """
+    m = log_lambda.shape[-1]
+    init = jnp.full(log_lambda.shape[:-1] + (m + 1,), NEG_INF)
+    init = init.at[..., 0].set(0.0)
+
+    def step(e, ll):
+        shifted = jnp.concatenate(
+            [jnp.full(e.shape[:-1] + (1,), NEG_INF), e[..., :-1]], axis=-1)
+        e_new = jnp.logaddexp(e, ll[..., None] + shifted)
+        return e_new, None
+
+    lam_t = jnp.moveaxis(log_lambda, -1, 0)
+    out, _ = jax.lax.scan(step, init, lam_t)
+    return out
+
+
+def esf_deleted(log_lambda):
+    """log-ESF with each measurement deleted: [..., M, M] where entry
+    [m, k] = e_k of the set excluding m (orders 0..M-1).
+
+    The reference kernel (.bak:1255-1277) rebuilds with a subtraction in the
+    recursion, which is not a valid ESF recursion; here each deleted set is
+    rebuilt with the correct (+) recursion (O(M^3) total — trivial work at
+    M <= 256, fully parallel over the deleted index)."""
+    m = log_lambda.shape[-1]
+
+    def one(mi):
+        ll = jnp.where(jnp.arange(m) == mi, NEG_INF, log_lambda)
+        return esf_log(ll)[..., :m]
+
+    return jax.vmap(one, out_axes=-2)(jnp.arange(m))
+
+
+class CphdUpdateTerms(NamedTuple):
+    cn_update: jax.Array          # [P, N+1] posterior cardinality (log)
+    log_lik: jax.Array            # [P] <Psi0, cn> particle weight increment
+    scale_detect: jax.Array       # [P, M] log-scale for detection weights
+    scale_nondetect: jax.Array    # [P] log-scale for non-detection weights
+
+
+def psi_terms(lw, qdw, w, in_mask, z_valid, cn_predict,
+              consts: CphdConstants, cfg: SlamConfig) -> CphdUpdateTerms:
+    """Compute Vo's Psi inner products (computePsiKernel, .bak:1286-1430).
+
+    lw [P,M,F] detection log partial weights; qdw [P,F] log((1-pd) w);
+    w [P,F] linear weights; in_mask [P,F]; cn_predict [P,N+1] log.
+    """
+    P, M, F = lw.shape
+    ncard = cn_predict.shape[-1]
+    lf = consts.log_factorial
+    lbin = consts.log_binomial
+    cn_clut = consts.log_cn_clutter
+
+    # Lambda_m = kappa^-1 lambda_c <pd w, N(z)> (log; .bak:1206-1221)
+    sum_l = jax.scipy.special.logsumexp(
+        jnp.where(in_mask[:, None, :], lw, NEG_INF), axis=-1)   # [P,M]
+    log_lambda = (sum_l + safe_log(jnp.asarray(cfg.clutterRate))
+                  - safe_log(jnp.asarray(cfg.clutterDensity)))
+    log_lambda = jnp.where(z_valid[None, :], log_lambda, NEG_INF)
+
+    esf = esf_log(log_lambda)                                   # [P, M+1]
+    esfd = esf_deleted(log_lambda)                              # [P, M, M]
+
+    # inner products <q_D, w> and <1, w> (log), clamped to a finite floor so
+    # products like (n-j)*ip_qdw stay NaN-free for empty maps (the reference
+    # relies on LOG0 = -FLT_MAX for the same effect, src/slamtypes.h:26)
+    ip_qdw = jax.scipy.special.logsumexp(
+        jnp.where(in_mask, qdw, NEG_INF), axis=-1)              # [P]
+    ip_qdw = jnp.maximum(ip_qdw, -1e30)
+    log_wsum = jnp.maximum(
+        safe_log(jnp.sum(jnp.where(in_mask, w, 0.0), axis=-1)), -1e30)
+
+    m_count = jnp.sum(z_valid.astype(jnp.int32))
+    n_idx = jnp.arange(ncard)                                   # [N+1]
+    j_idx = jnp.arange(M + 1)                                   # [J]
+
+    # shared aux(j) = lfact[m-j] + cn_clutter[m-j] + esf[j] - n*log_wsum
+    mj = jnp.clip(m_count - j_idx, 0, ncard - 1)                # [J]
+    j_ok = j_idx <= m_count
+
+    def psi(esf_j, shift, j_valid):
+        """psi[n] = lse_j ( perm(n, j+shift) + lfact[m'-j] + cnc[m'-j]
+                            + esf_j[j] + (n-(j+shift)) ip_qdw - n log_wsum )
+        esf_j [P, J]; returns [P, N+1]."""
+        a = j_idx + shift                                       # [J]
+        a_c = jnp.clip(a, 0, ncard - 1)
+        # perm(n, a) = log C(n,a) + lfact[a] = log(n!/(n-a)!); only a <= n
+        perm = lbin[n_idx[:, None], a_c[None, :]] + lf[a_c][None, :]
+        valid = j_valid[None, :] & (a[None, :] <= n_idx[:, None])  # [N+1,J]
+        aux = (lf[mj] + cn_clut[mj])[None, None, :] + esf_j[:, None, :]
+        pow_term = ((n_idx[None, :, None] - a[None, None, :])
+                    * ip_qdw[:, None, None])
+        terms = (aux + jnp.where(valid, perm, 0.0)[None] + pow_term
+                 - n_idx[None, :, None] * log_wsum[:, None, None])
+        terms = jnp.where(valid[None], terms, NEG_INF)
+        return jax.scipy.special.logsumexp(terms, axis=-1)      # [P, N+1]
+
+    psi0 = psi(esf, 0, j_ok)                                    # [P, N+1]
+    psi1 = psi(esf, 1, j_ok)
+
+    ip0 = jax.scipy.special.logsumexp(psi0 + cn_predict, axis=-1)   # [P]
+    ip1 = jax.scipy.special.logsumexp(psi1 + cn_predict, axis=-1)
+
+    # Psi1 deleted terms: esf -> esfd[m], clutter/factorial args use m-1-j
+    mj1 = jnp.clip(m_count - 1 - j_idx[:M], 0, ncard - 1)       # [M]
+    j1_ok = j_idx[:M] <= jnp.maximum(m_count - 1, 0)
+    a1 = j_idx[:M] + 1
+    a1_c = jnp.clip(a1, 0, ncard - 1)
+    perm1 = lbin[n_idx[:, None], a1_c[None, :]] + lf[a1_c][None, :]
+    valid1 = j1_ok[None, :] & (a1[None, :] <= n_idx[:, None])   # [N+1,M]
+    aux1 = (lf[mj1] + cn_clut[mj1])[None, None, None, :] \
+        + esfd[:, :, None, :]                                   # [P,M,1,Mj]
+    pow1 = ((n_idx[None, None, :, None] - a1[None, None, None, :])
+            * ip_qdw[:, None, None, None])
+    terms1 = (aux1 + jnp.where(valid1, perm1, 0.0)[None, None] + pow1
+              - n_idx[None, None, :, None]
+              * log_wsum[:, None, None, None])
+    terms1 = jnp.where(valid1[None, None], terms1, NEG_INF)
+    psi1d = jax.scipy.special.logsumexp(terms1, axis=-1)        # [P,M,N+1]
+    ip1d = jax.scipy.special.logsumexp(
+        psi1d + cn_predict[:, None, :], axis=-1)                # [P,M]
+
+    cn_update = cn_predict + psi0 - ip0[:, None]
+
+    # weight scales (cphdUpdateKernel, .bak:1446-1478)
+    scale_detect = (ip1d - ip0[:, None]
+                    + safe_log(jnp.asarray(cfg.clutterRate))
+                    - safe_log(jnp.asarray(cfg.clutterDensity)))  # [P,M]
+    scale_nondetect = ip1 - ip0 + safe_log(
+        jnp.asarray(1.0 - cfg.pd))                               # [P]
+
+    return CphdUpdateTerms(cn_update=cn_update, log_lik=ip0,
+                           scale_detect=scale_detect,
+                           scale_nondetect=scale_nondetect)
+
+
+def add_births(state_map: Gaussian2DMixture, pose, z_rb, z_valid,
+               cfg: SlamConfig, consts: CphdConstants):
+    """Insert birth Gaussians into the map before the update (addBirths /
+    birthsKernel, .bak:737-856). With gate_births, only measurements not
+    explained by an existing feature give birth (Mahalanobis gate on the
+    predicted measurement, config gate_threshold).
+
+    Returns (map_with_births, cn_birth [P, N+1]).
+    """
+    P, F = state_map.w.shape
+    M = z_rb.shape[0]
+
+    # gating: measurement m compatible with an existing feature?
+    if cfg.gateBirths:
+        from phdslam_tpu.models.measurement import predict_measurement
+        from phdslam_tpu.ops.linalg import wrap_angle
+        mean_xy = jnp.stack([state_map.mx, state_map.my], axis=-1)
+        r, b, dx, dy, r2 = predict_measurement(pose[:, None, :], mean_xy)
+        ir = z_rb[None, :, None, 0] - r[:, None, :]
+        ib = wrap_angle(z_rb[None, :, None, 1] - b[:, None, :])
+        # rough gate with measurement noise scale (the reference gates on
+        # the pre-update innovation covariance; birth gating happens before
+        # the pre-update so the measurement-noise gate is the usable proxy)
+        d2 = (ir / cfg.stdRange) ** 2 + (ib / cfg.stdBearing) ** 2
+        compatible = jnp.any(
+            (d2 < cfg.gateThreshold ** 2) & state_map.valid[:, None, :],
+            axis=-1)                                            # [P,M]
+        birth_ok = z_valid[None, :] & ~compatible
+    else:
+        birth_ok = jnp.broadcast_to(z_valid[None, :], (P, M))
+
+    theta = pose[:, None, 2] + z_rb[None, :, 1]
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    bdx = z_rb[None, :, 0] * ct
+    bdy = z_rb[None, :, 0] * st
+    var_r = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
+    var_b = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
+    bw = jnp.where(birth_ok, cfg.birthWeight, 0.0)
+
+    # union map + births, keep top-F by weight
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    uw = cat(state_map.w, bw)
+    top_w, idx = jax.lax.top_k(uw, F)
+    take = lambda a, b: jnp.take_along_axis(cat(a, b), idx, axis=1)
+    new_map = Gaussian2DMixture(
+        w=top_w,
+        mx=take(state_map.mx, pose[:, None, 0] + bdx),
+        my=take(state_map.my, pose[:, None, 1] + bdy),
+        c00=take(state_map.c00, ct * ct * var_r + bdy * bdy * var_b),
+        c01=take(state_map.c01, ct * st * var_r - bdy * bdx * var_b),
+        c11=take(state_map.c11, st * st * var_r + bdx * bdx * var_b))
+
+    n_births = jnp.sum(birth_ok.astype(jnp.int32), axis=-1)     # [P]
+    cn_birth = jax.vmap(
+        lambda n: birth_cardinality(n, cfg.birthWeight, consts))(n_births)
+    return new_map, cn_birth
+
+
+def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
+                z_valid, cfg: SlamConfig, consts: CphdConstants):
+    """Full CPHD measurement update: Kalman pre-update (shared with the PHD
+    path), ESF/Psi machinery, weight scaling, merge, cardinality posterior.
+
+    Returns (map_out, cn_update, log_weight_delta).
+    """
+    P, F = gm.w.shape
+    M = z_rb.shape[0]
+
+    pre = kalman_preupdate(pose, gm, cfg)
+    lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
+    in_mask = pre.rclass == 1
+    qdw = safe_log(1.0 - pre.pd) + safe_log(gm.w)               # [P,F]
+
+    terms = psi_terms(lw, qdw, gm.w, in_mask, z_valid, cn_predict,
+                      consts, cfg)
+
+    # weights (cphdUpdateKernel): no per-measurement normalizer — the Psi
+    # inner products play that role
+    w_detect = jnp.exp(lw + terms.scale_detect[:, :, None])     # [P,M,F]
+    w_nondetect = jnp.where(
+        in_mask,
+        jnp.exp(safe_log(gm.w) + terms.scale_nondetect[:, None]), 0.0)
+
+    # prune + pool + merge (same machinery as the PHD path, no birth terms —
+    # CPHD births entered the map pre-update)
+    minw = cfg.minFeatureWeight
+    w_nd_p = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
+    w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
+
+    k1 = min(16, F)
+    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)
+    w_near = jnp.where(pre.rclass == 2, gm.w, 0.0)
+    w_pool = jnp.concatenate(
+        [w_near, w_nd_p, w_det_k.reshape(P, M * k1)], axis=-1)
+    K = min(cfg.merge_pool_size, w_pool.shape[-1])
+    top_w, top_idx = jax.lax.top_k(w_pool, K)
+
+    is_near = top_idx < F
+    is_nd = (top_idx >= F) & (top_idx < 2 * F)
+    is_det = top_idx >= 2 * F
+    f_near = jnp.clip(top_idx, 0, F - 1)
+    f_nd = jnp.clip(top_idx - F, 0, F - 1)
+    det_off = jnp.clip(top_idx - 2 * F, 0, M * k1 - 1)
+    m_det = det_off // k1
+    f_det = jnp.take_along_axis(f_det_k.reshape(P, M * k1), det_off, axis=1)
+    f_any = jnp.where(is_det, f_det,
+                      jnp.where(is_near, f_near, f_nd))
+
+    take_f = lambda arr: jnp.take_along_axis(arr, f_any, axis=1)
+    mx_f, my_f = take_f(gm.mx), take_f(gm.my)
+    c00_f, c01_f, c11_f = take_f(gm.c00), take_f(gm.c01), take_f(gm.c11)
+    g00, g01 = take_f(pre.g00), take_f(pre.g01)
+    g10, g11 = take_f(pre.g10), take_f(pre.g11)
+    u00, u01, u11 = take_f(pre.u00), take_f(pre.u01), take_f(pre.u11)
+    r_f, b_f = take_f(pre.r), take_f(pre.bearing)
+    from phdslam_tpu.ops.linalg import wrap_angle
+    m_safe = jnp.clip(m_det, 0, M - 1)
+    innov_r = z_rb[:, 0][m_safe] - r_f
+    innov_b = wrap_angle(z_rb[:, 1][m_safe] - b_f)
+    cand_mx = jnp.where(is_det, mx_f + g00 * innov_r + g01 * innov_b, mx_f)
+    cand_my = jnp.where(is_det, my_f + g10 * innov_r + g11 * innov_b, my_f)
+    cand_00 = jnp.where(is_det, u00, c00_f)
+    cand_01 = jnp.where(is_det, u01, c01_f)
+    cand_11 = jnp.where(is_det, u11, c11_f)
+    cand_w = jnp.maximum(top_w, 0.0)
+
+    mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
+        cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
+        cfg.minSeparation, F, metric=cfg.distanceMetric)
+
+    w_out_range = jnp.where(pre.rclass == 0, gm.w, 0.0)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    top_uw, u_idx = jax.lax.top_k(cat(mw, w_out_range), F)
+    take_u = lambda a, b: jnp.take_along_axis(cat(a, b), u_idx, axis=1)
+    map_out = Gaussian2DMixture(
+        w=top_uw,
+        mx=take_u(mmx, gm.mx), my=take_u(mmy, gm.my),
+        c00=take_u(m00, gm.c00), c01=take_u(m01, gm.c01),
+        c11=take_u(m11, gm.c11))
+
+    return map_out, terms.cn_update, terms.log_lik

@@ -40,16 +40,9 @@ def shotgun_expand(state: SlamState, n_copies: int) -> SlamState:
     def rep(x):
         return jnp.repeat(x, n_copies, axis=0)
 
-    return state.replace(
-        pose=rep(state.pose),
-        log_weights=rep(state.log_weights) - jnp.log(float(n_copies)),
-        map_static=jax.tree.map(rep, state.map_static),
-        map_dynamic=jax.tree.map(rep, state.map_dynamic),
-        resample_idx=rep(state.resample_idx),
-        variances=rep(state.variances),
-        cardinality=None if state.cardinality is None
-        else rep(state.cardinality),
-    )
+    new = jax.tree.map(rep, state)
+    return new.replace(
+        log_weights=new.log_weights - jnp.log(float(n_copies)))
 
 
 def predict_pose(key, pose, control, cfg, dt):

@@ -150,6 +150,7 @@ class SlamState:
     resample_idx: jax.Array    # [P] int32
     variances: jax.Array       # [P]
     cardinality: Optional[jax.Array] = None  # [P, Nmax+1] log-pmf (CPHD)
+    cn_birth: Optional[jax.Array] = None     # [P, Nmax+1] log-pmf (CPHD)
 
     @property
     def n_particles(self) -> int:
@@ -167,9 +168,13 @@ class SlamState:
         f_static = config.maxFeatures
         f_dynamic = config.maxFeatures if config.featureModel != 0 else 0
         cardinality = None
+        cn_birth = None
         if config.filterType == 1:  # CPHD
             nc = config.maxCardinality + 1
             cardinality = jnp.full((n, nc), -jnp.log(float(nc)), dtype)
+            # initial birth cardinality: delta at 0 (src/main.cpp:1149-1151)
+            cn_birth = jnp.full((n, nc), -3.4028235e38, dtype)
+            cn_birth = cn_birth.at[:, 0].set(0.0)
         return cls(
             pose=pose,
             log_weights=jnp.full((n,), -jnp.log(float(n)), dtype),
@@ -178,6 +183,7 @@ class SlamState:
             resample_idx=jnp.arange(n, dtype=jnp.int32),
             variances=jnp.zeros((n,), dtype),
             cardinality=cardinality,
+            cn_birth=cn_birth,
         )
 
 

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.config import CPHD_TYPE, SlamConfig
 from phdslam_tpu.filter.predict import predict, shotgun_expand
 from phdslam_tpu.filter.state import Measurements, SlamState
 from phdslam_tpu.filter.update import phd_update_static, phd_variance
@@ -38,21 +38,14 @@ class StepAux(NamedTuple):
 
 def _gather_particles(state: SlamState, idx, new_log_w) -> SlamState:
     take = lambda x: jnp.take(x, idx, axis=0)
-    return state.replace(
-        pose=take(state.pose),
-        log_weights=new_log_w,
-        map_static=jax.tree.map(take, state.map_static),
-        map_dynamic=jax.tree.map(take, state.map_dynamic),
-        resample_idx=idx,
-        variances=take(state.variances),
-        cardinality=None if state.cardinality is None
-        else take(state.cardinality),
-    )
+    new = jax.tree.map(take, state)
+    return new.replace(log_weights=new_log_w, resample_idx=idx)
 
 
 @partial(jax.jit, static_argnames=("cfg", "with_variance"))
 def slam_step(state: SlamState, key, control, z: Measurements, dt,
-              do_predict, cfg: SlamConfig, with_variance: bool = False):
+              do_predict, cfg: SlamConfig, with_variance: bool = False,
+              z_prev: Measurements = None):
     """One SLAM time step.
 
     state       SlamState with P == cfg.n_particles
@@ -61,10 +54,22 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
     z           padded Measurements
     dt          traced time delta for this step
     do_predict  traced bool: skip prediction on step 0 (src/main.cpp:1244)
+    z_prev      previous step's measurements — CPHD births come from them
+                (addBirths(particles, ZPrev), src/phdfilter.cu.bak:68)
 
     Returns (state', StepAux).
     """
     k_pred, k_var, k_res = jax.random.split(key, 3)
+    is_cphd = cfg.filterType == CPHD_TYPE
+    if is_cphd:
+        from phdslam_tpu.filter import cphd as C
+        consts = C.make_constants(cfg)
+        if z_prev is None:
+            m = z.rb.shape[0]
+            z_prev = Measurements(
+                rb=jnp.zeros((m, 2), z.rb.dtype),
+                label=jnp.zeros((m,), jnp.int32),
+                valid=jnp.zeros((m,), bool))
 
     # ---- prediction (with sub-step subdivision, src/main.cpp:1248-1254) ----
     def do_pred(st):
@@ -73,6 +78,11 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
         keys = jax.random.split(k_pred, sub)
         for i in range(sub):
             st = predict(keys[i], st, control, cfg, dt / sub)
+        if is_cphd:
+            # cardinality prediction (phdPredict CPHD branch,
+            # src/phdfilter.cu.bak:564-612)
+            st = st.replace(cardinality=C.cardinality_predict(
+                st.cardinality, st.cn_birth))
         return st
 
     def no_pred(st):
@@ -80,10 +90,28 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
 
     state = jax.lax.cond(do_predict, do_pred, no_pred, state)
 
+    # ---- CPHD births from the previous measurements ---------------------
+    if is_cphd:
+        def births(st):
+            new_map, cn_birth = C.add_births(
+                st.map_static, st.pose, z_prev.rb, z_prev.valid, cfg, consts)
+            return st.replace(map_static=new_map, cn_birth=cn_birth)
+
+        state = jax.lax.cond(z_prev.count > 0, births, lambda s: s, state)
+
     # ---- measurement update -------------------------------------------
     n_measure = z.count
 
     def do_update(st):
+        if is_cphd:
+            map_out, cn_update, dw = C.cphd_update(
+                st.pose, st.map_static, st.cardinality, z.rb, z.label,
+                z.valid, cfg, consts)
+            lw = st.log_weights + dw
+            log_lik = jax.scipy.special.logsumexp(lw)
+            lw = lw - log_lik
+            return st.replace(map_static=map_out, log_weights=lw,
+                              cardinality=cn_update), log_lik
         res = phd_update_static(
             st.pose, st.map_static, z.rb, z.label, z.valid, cfg)
         lw = st.log_weights + res.log_weight_delta
@@ -150,10 +178,16 @@ def run_scan(state: SlamState, key, controls, zs: Measurements, dts,
     """
     keys = jax.random.split(key, length)
     t_idx = jnp.arange(length)
+    # previous-step measurements (CPHD births): shift by one, empty at t=0
+    zs_prev = jax.tree.map(
+        lambda x: jnp.concatenate(
+            [jnp.zeros_like(x[:1]), x[:-1]], axis=0), zs)
 
     def body(st, inp):
-        k, ctrl, z, dt, t = inp
-        st, aux = slam_step(st, k, (ctrl[0], ctrl[1]), z, dt, t > 0, cfg)
+        k, ctrl, z, zp, dt, t = inp
+        st, aux = slam_step(st, k, (ctrl[0], ctrl[1]), z, dt, t > 0, cfg,
+                            z_prev=zp)
         return st, aux
 
-    return jax.lax.scan(body, state, (keys, controls, zs, dts, t_idx))
+    return jax.lax.scan(body, state,
+                        (keys, controls, zs, zs_prev, dts, t_idx))

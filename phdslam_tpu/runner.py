@@ -162,6 +162,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
 
     # ---- loop mode ----
     poses_out = []
+    z_prev = None
     for t, s in enumerate(sched):
         t0 = time.time()
         if s["z"] is not None:
@@ -186,7 +187,9 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                                  z=jax.device_get(z)), f)
 
         state, aux = slam_step(state, sk, ctrl, z, dt,
-                               jnp.asarray(t > 0 and s["predict"]), cfg)
+                               jnp.asarray(t > 0 and s["predict"]), cfg,
+                               z_prev=z_prev)
+        z_prev = z
         jax.block_until_ready(state.log_weights)
         elapsed_ms = (time.time() - t0) * 1000
         logs.append_loop_time(out_dir, elapsed_ms)

@@ -1,0 +1,157 @@
+"""CPHD pipeline tests: constants, cardinality prediction, elementary
+symmetric functions vs brute-force polynomial expansion, Psi sanity, and an
+end-to-end CPHD tracking smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.stats import binom, poisson
+
+from phdslam_tpu.filter import cphd as C
+from phdslam_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def cphd_cfg():
+    return load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=8, maxFeatures=16, maxMeasurements=8, birthWeight=1e-2,
+        y0=0.0, filterType=1, maxCardinality=31, gateBirths=True,
+        gateThreshold=4.0)
+
+
+def test_constants(cphd_cfg):
+    consts = C.make_constants(cphd_cfg)
+    lf = np.asarray(consts.log_factorial)
+    assert abs(lf[5] - np.log(120.0)) < 1e-4
+    lb = np.asarray(consts.log_binomial)
+    assert abs(lb[5, 2] - np.log(10.0)) < 1e-4
+    assert lb[2, 5] < -1e30  # k > n
+    cc = np.asarray(consts.log_cn_clutter)
+    expect = poisson(cphd_cfg.clutterRate).logpmf(np.arange(10))
+    np.testing.assert_allclose(cc[:10], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_cardinality_predict_is_convolution():
+    n = 16
+    rng = np.random.default_rng(0)
+    p1 = rng.uniform(0.1, 1.0, n)
+    p1 /= p1.sum()
+    p2 = rng.uniform(0.1, 1.0, n)
+    p2 /= p2.sum()
+    out = np.asarray(C.cardinality_predict(
+        jnp.asarray(np.log(p1, dtype=np.float32))[None],
+        jnp.asarray(np.log(p2, dtype=np.float32))[None]))[0]
+    conv = np.convolve(p1, p2)[:n]
+    np.testing.assert_allclose(np.exp(out), conv, rtol=1e-3, atol=1e-6)
+
+
+def test_birth_cardinality_binomial(cphd_cfg):
+    consts = C.make_constants(cphd_cfg)
+    out = np.asarray(C.birth_cardinality(5, 0.3, consts))
+    expect = binom(5, 0.3).logpmf(np.arange(6))
+    np.testing.assert_allclose(out[:6], expect, rtol=1e-3, atol=1e-3)
+    assert np.all(out[6:] < -1e30)
+
+
+def brute_esf(lams):
+    """Coefficients of prod(1 + lam_i x) by polynomial multiplication."""
+    coeffs = np.array([1.0])
+    for lam in lams:
+        coeffs = np.convolve(coeffs, [1.0, lam])
+    return coeffs
+
+
+def test_esf_vs_brute_force(rng):
+    lams = rng.uniform(0.1, 3.0, 6)
+    ll = np.log(lams).astype(np.float32)
+    out = np.exp(np.asarray(C.esf_log(jnp.asarray(ll))))
+    np.testing.assert_allclose(out, brute_esf(lams), rtol=1e-3)
+
+
+def test_esf_padding_invariant(rng):
+    lams = rng.uniform(0.1, 3.0, 4)
+    ll = np.full(8, -np.inf, np.float32)
+    ll[:4] = np.log(lams)
+    out = np.exp(np.asarray(C.esf_log(jnp.asarray(ll))))
+    expect = np.zeros(9)
+    expect[:5] = brute_esf(lams)
+    np.testing.assert_allclose(out, expect, rtol=1e-3, atol=1e-6)
+
+
+def test_esf_deleted(rng):
+    lams = rng.uniform(0.1, 3.0, 5)
+    ll = jnp.asarray(np.log(lams).astype(np.float32))
+    out = np.exp(np.asarray(C.esf_deleted(ll)))        # [5, 5]
+    for m in range(5):
+        rest = np.delete(lams, m)
+        np.testing.assert_allclose(out[m], brute_esf(rest), rtol=1e-3)
+
+
+def test_add_births_gating(cphd_cfg):
+    from phdslam_tpu.filter.state import Gaussian2DMixture
+    cfg = cphd_cfg
+    consts = C.make_constants(cfg)
+    P, F, M = 2, cfg.maxFeatures, cfg.maxMeasurements
+    pose = jnp.zeros((P, 6))
+    gm = Gaussian2DMixture.empty((P,), F)
+    # one existing feature at range 4, bearing 0.2
+    gm = gm.replace(
+        w=gm.w.at[:, 0].set(1.0),
+        mx=gm.mx.at[:, 0].set(4.0 * np.cos(0.2)),
+        my=gm.my.at[:, 0].set(4.0 * np.sin(0.2)),
+        c00=gm.c00.at[:, 0].set(0.01), c11=gm.c11.at[:, 0].set(0.01))
+    z_rb = jnp.zeros((M, 2)).at[0].set(jnp.asarray([4.0, 0.2])) \
+        .at[1].set(jnp.asarray([7.0, -0.5]))
+    z_valid = jnp.zeros((M,), bool).at[:2].set(True)
+    new_map, cn_birth = C.add_births(gm, pose, z_rb, z_valid, cfg, consts)
+    # measurement 0 gated away (existing feature), measurement 1 births
+    w = np.asarray(new_map.w)
+    assert (w[0] > 0).sum() == 2      # original + 1 birth
+    assert abs(np.sort(w[0])[-2] - cfg.birthWeight) < 1e-6
+    # birth cardinality = binomial with n = 1
+    cb = np.asarray(cn_birth[0])
+    expect = binom(1, cfg.birthWeight).logpmf([0, 1])
+    np.testing.assert_allclose(cb[:2], expect, rtol=1e-3, atol=1e-3)
+
+
+def test_cphd_e2e_tracking(cphd_cfg):
+    """CPHD end-to-end: tracks the vehicle and maintains a sane cardinality
+    estimate on a low-noise scenario."""
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import slam_step
+    from phdslam_tpu.simdata import make_scenario, generate_run
+    from phdslam_tpu.io.loaders import MeasurementSet, pad_measurement_sets
+
+    cfg = cphd_cfg.replace(stdEncoder=0.05, stdAlpha=0.005)
+    rng = np.random.default_rng(11)
+    sc = make_scenario(rng, n_landmarks=12, n_steps=40, clutter_rate=2.0)
+    controls, meas = generate_run(np.random.default_rng(12), sc,
+                                  control_noise=(0.05, 0.005))
+    sets = [MeasurementSet(z[:, 0], z[:, 1], np.zeros(len(z), np.int32))
+            for z in meas[:40]]
+    rb, labels, valid = pad_measurement_sets(sets, cfg.maxMeasurements)
+    state = SlamState.create(cfg)
+    key = jax.random.PRNGKey(3)
+    errs = []
+    zp = None
+    for t in range(40):
+        z = Measurements(rb=jnp.asarray(rb[t]), label=jnp.asarray(labels[t]),
+                         valid=jnp.asarray(valid[t]))
+        u = (jnp.float32(controls[t - 1, 0] if t > 0 else 0),
+             jnp.float32(controls[t - 1, 1] if t > 0 else 0))
+        key, sk = jax.random.split(key)
+        state, aux = slam_step(state, sk, u, z, jnp.float32(cfg.dt),
+                               jnp.asarray(t > 0), cfg, z_prev=zp)
+        zp = z
+        errs.append(np.linalg.norm(
+            np.asarray(aux.expected_pose[:2]) - sc.traj[t, :2]))
+    errs = np.asarray(errs)
+    assert np.isfinite(errs).all()
+    assert errs.mean() < 2.0, errs
+    # cardinality posterior: finite log-pmf, normalized-ish, MAP estimate > 0
+    cn = np.asarray(state.cardinality)
+    assert np.isfinite(np.exp(cn)).all()
+    total = np.exp(cn[0]).sum()
+    assert 0.5 < total < 2.0, total
+    assert np.argmax(cn[0]) >= 1
