@@ -176,37 +176,48 @@ def psi_terms(lw, qdw, w, in_mask, z_valid, cn_predict,
     esf = esf_log(log_lambda)                                   # [P, M+1]
     esfd = esf_deleted(log_lambda)                              # [P, M, M]
 
-    # inner products <q_D, w> and <1, w> (log), clamped to a finite floor so
-    # products like (n-j)*ip_qdw stay NaN-free for empty maps (the reference
-    # relies on LOG0 = -FLT_MAX for the same effect, src/slamtypes.h:26)
+    # Inner products <q_D, w> and <1, w> (log). The reference's form
+    # multiplies (n-j)*log<qd,w> and subtracts n*log<1,w> — with LOG0
+    # sentinels this relies on exact cancellation of +-huge products, which
+    # float32 reassociation destroys (the huge addend annihilates the finite
+    # part of the term). We refactor algebraically:
+    #   (n-a) ip_qdw - n log_wsum
+    #     = (n-a) log_ratio - j log_wsum - u log_wsum,   a = j + u,
+    # with log_ratio = log(<qd,w>/<1,w>) in [-30, 0] (an average of
+    # log(1-pd), bounded) and the -j log_wsum folded into the ESF
+    # coefficients. All magnitudes stay ~O(30*n): no cancellation hazards,
+    # exact whenever the map is non-empty.
     ip_qdw = jax.scipy.special.logsumexp(
         jnp.where(in_mask, qdw, NEG_INF), axis=-1)              # [P]
     ip_qdw = jnp.maximum(ip_qdw, -1e30)
-    log_wsum = jnp.maximum(
+    log_wsum_raw = jnp.maximum(
         safe_log(jnp.sum(jnp.where(in_mask, w, 0.0), axis=-1)), -1e30)
+    log_ratio = jnp.clip(ip_qdw - log_wsum_raw, -30.0, 0.0)     # [P]
+    log_wsum = jnp.maximum(log_wsum_raw, -30.0)
 
     m_count = jnp.sum(z_valid.astype(jnp.int32))
     n_idx = jnp.arange(ncard)                                   # [N+1]
     j_idx = jnp.arange(M + 1)                                   # [J]
 
-    # shared aux(j) = lfact[m-j] + cn_clutter[m-j] + esf[j] - n*log_wsum
     mj = jnp.clip(m_count - j_idx, 0, ncard - 1)                # [J]
     j_ok = j_idx <= m_count
 
     def psi(esf_j, shift, j_valid):
         """psi[n] = lse_j ( perm(n, j+shift) + lfact[m'-j] + cnc[m'-j]
-                            + esf_j[j] + (n-(j+shift)) ip_qdw - n log_wsum )
+                            + (esf_j[j] - j log_wsum)
+                            + (n-(j+shift)) log_ratio - shift log_wsum )
         esf_j [P, J]; returns [P, N+1]."""
         a = j_idx + shift                                       # [J]
         a_c = jnp.clip(a, 0, ncard - 1)
         # perm(n, a) = log C(n,a) + lfact[a] = log(n!/(n-a)!); only a <= n
         perm = lbin[n_idx[:, None], a_c[None, :]] + lf[a_c][None, :]
         valid = j_valid[None, :] & (a[None, :] <= n_idx[:, None])  # [N+1,J]
-        aux = (lf[mj] + cn_clut[mj])[None, None, :] + esf_j[:, None, :]
+        esf_norm = esf_j - j_idx[None, :] * log_wsum[:, None]   # [P,J]
+        aux = (lf[mj] + cn_clut[mj])[None, None, :] + esf_norm[:, None, :]
         pow_term = ((n_idx[None, :, None] - a[None, None, :])
-                    * ip_qdw[:, None, None])
+                    * log_ratio[:, None, None])
         terms = (aux + jnp.where(valid, perm, 0.0)[None] + pow_term
-                 - n_idx[None, :, None] * log_wsum[:, None, None])
+                 - shift * log_wsum[:, None, None])
         terms = jnp.where(valid[None], terms, NEG_INF)
         return jax.scipy.special.logsumexp(terms, axis=-1)      # [P, N+1]
 
@@ -223,13 +234,13 @@ def psi_terms(lw, qdw, w, in_mask, z_valid, cn_predict,
     a1_c = jnp.clip(a1, 0, ncard - 1)
     perm1 = lbin[n_idx[:, None], a1_c[None, :]] + lf[a1_c][None, :]
     valid1 = j1_ok[None, :] & (a1[None, :] <= n_idx[:, None])   # [N+1,M]
+    esfd_norm = esfd - j_idx[None, None, :M] * log_wsum[:, None, None]
     aux1 = (lf[mj1] + cn_clut[mj1])[None, None, None, :] \
-        + esfd[:, :, None, :]                                   # [P,M,1,Mj]
+        + esfd_norm[:, :, None, :]                              # [P,M,1,Mj]
     pow1 = ((n_idx[None, None, :, None] - a1[None, None, None, :])
-            * ip_qdw[:, None, None, None])
+            * log_ratio[:, None, None, None])
     terms1 = (aux1 + jnp.where(valid1, perm1, 0.0)[None, None] + pow1
-              - n_idx[None, None, :, None]
-              * log_wsum[:, None, None, None])
+              - log_wsum[:, None, None, None])
     terms1 = jnp.where(valid1[None, None], terms1, NEG_INF)
     psi1d = jax.scipy.special.logsumexp(terms1, axis=-1)        # [P,M,N+1]
     ip1d = jax.scipy.special.logsumexp(
