@@ -268,3 +268,86 @@ def eval_mixture(w, mean, cov, x):
 
     logpdf = gaussian_logpdf(x[..., None, :], mean, cov)  # [..., F]
     return jnp.sum(w * jnp.exp(logpdf), axis=-1)
+
+
+def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
+                           min_separation, max_out: int):
+    """3-D channelized greedy merge (the disparity-space analog of
+    ``greedy_merge_channels``; reference merges 3-D disparity Gaussians with
+    the same phdUpdateMergeKernel via the Gaussian3D overloads,
+    src/phdfilter.cu:4977-4983 + device_math.cuh:331-345).
+
+    Mahalanobis with averaged covariances, closed-form 3x3 adjugate/det.
+    Returns channel outputs, each [P, max_out].
+    """
+    P, K = w.shape
+    dtype = w.dtype
+    col = jnp.arange(K)
+    means = (m0, m1, m2)
+    covs = (c00, c01, c02, c11, c12, c22)
+
+    def body(carry):
+        (i, w_rem, ow, o_m, o_c) = carry
+        pick = jnp.argmax(w_rem, axis=1)
+        take = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)
+        rm = [take(m) for m in means]
+        rc = [take(c) for c in covs]
+        a00 = 0.5 * (rc[0] + c00)
+        a01 = 0.5 * (rc[1] + c01)
+        a02 = 0.5 * (rc[2] + c02)
+        a11 = 0.5 * (rc[3] + c11)
+        a12 = 0.5 * (rc[4] + c12)
+        a22 = 0.5 * (rc[5] + c22)
+        det = (a00 * (a11 * a22 - a12 * a12)
+               - a01 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * a12 - a11 * a02))
+        i00 = a11 * a22 - a12 * a12
+        i01 = a02 * a12 - a01 * a22
+        i02 = a01 * a12 - a02 * a11
+        i11 = a00 * a22 - a02 * a02
+        i12 = a02 * a01 - a00 * a12
+        i22 = a00 * a11 - a01 * a01
+        d0 = rm[0] - m0
+        d1 = rm[1] - m1
+        d2 = rm[2] - m2
+        dist = (d0 * d0 * i00 + d1 * d1 * i11 + d2 * d2 * i22
+                + 2.0 * (d0 * d1 * i01 + d0 * d2 * i02 + d1 * d2 * i12)
+                ) / det
+        sel = (dist < min_separation) & (w_rem > 0)
+        sel = sel | (col[None, :] == pick[:, None])
+        active = jnp.any(w_rem > 0, axis=1)
+        sel = sel & active[:, None]
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw, axis=1)
+        inv = jnp.where(wsum > 0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
+        mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
+        dd = [mu[k][:, None] - means[k] for k in range(3)]
+        n_c = [
+            jnp.sum(sw * (c00 + dd[0] * dd[0]), axis=1) * inv,
+            jnp.sum(sw * (c01 + dd[0] * dd[1]), axis=1) * inv,
+            jnp.sum(sw * (c02 + dd[0] * dd[2]), axis=1) * inv,
+            jnp.sum(sw * (c11 + dd[1] * dd[1]), axis=1) * inv,
+            jnp.sum(sw * (c12 + dd[1] * dd[2]), axis=1) * inv,
+            jnp.sum(sw * (c22 + dd[2] * dd[2]), axis=1) * inv,
+        ]
+        ow = jax.lax.dynamic_update_index_in_dim(ow, wsum, i, 1)
+        o_m = tuple(
+            jax.lax.dynamic_update_index_in_dim(o_m[k], mu[k], i, 1)
+            for k in range(3))
+        o_c = tuple(
+            jax.lax.dynamic_update_index_in_dim(o_c[k], n_c[k], i, 1)
+            for k in range(6))
+        w_rem = jnp.where(sel, 0.0, w_rem)
+        return i + 1, w_rem, ow, o_m, o_c
+
+    def cond(carry):
+        i, w_rem, *_ = carry
+        return (i < max_out) & jnp.any(w_rem > 0)
+
+    zeros = jnp.zeros((P, max_out), dtype)
+    ones = jnp.ones((P, max_out), dtype)
+    init = (jnp.array(0, jnp.int32), w, zeros,
+            (zeros, zeros, zeros),
+            (ones, zeros, zeros, ones, zeros, ones))
+    _, _, ow, o_m, o_c = jax.lax.while_loop(cond, body, init)
+    return (ow,) + o_m + o_c

@@ -1,0 +1,144 @@
+"""SC-PHD disparity pipeline tests: camera transforms, Gaussian fitting and
+sampling round trips, and an end-to-end monocular tracking smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phdslam_tpu.config import load_config
+from phdslam_tpu.models import camera as cam
+
+
+@pytest.fixture(scope="module")
+def disp_cfg():
+    return load_config("/root/reference/cfg/config.cfg").replace(
+        n_particles=8, maxFeatures=8, maxMeasurements=8,
+        particlesPerFeature=32, birthWeight=1e-2, pd=0.95,
+        minSeparation=16.0, ax=0.01, ay=0.01, az=0.01,
+        aroll=0.001, apitch=0.001, ayaw=0.001, dt=0.1,
+        particleWeighting=0, clutterRate=2.0)
+
+
+def test_camera_world_roundtrip(rng, disp_cfg):
+    pose = jnp.asarray(
+        rng.normal(0, 0.5, 12).astype(np.float32))
+    pts = rng.normal(0, 5, (10, 3)).astype(np.float32)
+    xc, yc, zc = cam.world_to_camera(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2]), pose)
+    xw, yw, zw = cam.camera_to_world(xc, yc, zc, pose)
+    np.testing.assert_allclose(np.asarray(xw), pts[:, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yw), pts[:, 1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(zw), pts[:, 2], atol=1e-4)
+
+
+def test_disparity_roundtrip(disp_cfg):
+    cfg = disp_cfg
+    pose = jnp.zeros(12)
+    # points in front of the camera: zc < 0 gives d > 0 (d = -fx/zc, fx < 0
+    # in the shipped calibration means zc > 0... use the cfg convention)
+    u = jnp.asarray([100.0, 400.0, 700.0])
+    v = jnp.asarray([50.0, 300.0, 550.0])
+    d = jnp.asarray([10.0, 100.0, 400.0])
+    xw, yw, zw = cam.disparity_to_world(u, v, d, pose, cfg)
+    u2, v2, d2, fov = cam.world_to_disparity(xw, yw, zw, pose, cfg)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d), rtol=1e-4)
+    assert bool(fov.all())
+
+
+def test_fit_gaussians_matches_numpy(rng):
+    from phdslam_tpu.filter.disparity import fit_gaussians
+    pts = rng.normal(0, 2, (4, 64, 3)).astype(np.float32)
+    u, v, d = (jnp.asarray(pts[..., i]) for i in range(3))
+    m0, m1, m2, c00, c01, c02, c11, c12, c22 = fit_gaussians(u, v, d)
+    for f in range(4):
+        np.testing.assert_allclose(float(m0[f]), pts[f, :, 0].mean(),
+                                   atol=1e-4)
+        c = np.cov(pts[f].T)  # /(n-1) like the reference kernel
+        np.testing.assert_allclose(float(c00[f]), c[0, 0], rtol=1e-3)
+        np.testing.assert_allclose(float(c01[f]), c[0, 1], rtol=1e-2,
+                                   atol=1e-3)
+        np.testing.assert_allclose(float(c22[f]), c[2, 2], rtol=1e-3)
+
+
+def test_sample_gaussians_moments(disp_cfg):
+    from phdslam_tpu.filter.disparity import sample_gaussians
+    m = [jnp.asarray([5.0]), jnp.asarray([-2.0]), jnp.asarray([30.0])]
+    c = [jnp.asarray([4.0]), jnp.asarray([0.5]), jnp.asarray([0.2]),
+         jnp.asarray([2.0]), jnp.asarray([0.1]), jnp.asarray([1.0])]
+    u, v, d = sample_gaussians(jax.random.PRNGKey(0), *m, *c, 20000)
+    assert abs(float(u.mean()) - 5.0) < 0.1
+    assert abs(float(u.var()) - 4.0) < 0.2
+    assert abs(float(v.var()) - 2.0) < 0.15
+    cov_uv = float(jnp.mean((u - u.mean()) * (v - v.mean())))
+    assert abs(cov_uv - 0.5) < 0.1
+
+
+def _project_points(points, pose, cfg, rng, clutter=1):
+    xw, yw, zw = (jnp.asarray(points[:, i]) for i in range(3))
+    u, v, d, fov = cam.world_to_disparity(xw, yw, zw, jnp.asarray(pose), cfg)
+    u = np.asarray(u) + rng.normal(0, cfg.stdU, len(points))
+    v = np.asarray(v) + rng.normal(0, cfg.stdV, len(points))
+    keep = np.asarray(fov) & (rng.uniform(size=len(points)) < cfg.pd)
+    z = np.stack([u[keep], v[keep]], 1)
+    n_c = rng.poisson(clutter)
+    cl = np.stack([rng.uniform(0, cfg.imageWidth, n_c),
+                   rng.uniform(0, cfg.imageHeight, n_c)], 1)
+    return np.concatenate([z, cl], 0).astype(np.float32)
+
+
+def test_disparity_e2e_smoke(disp_cfg):
+    """Static camera observing fixed 3-D points: the SC-PHD map acquires
+    features near the measurements and weights stay finite."""
+    from phdslam_tpu.filter.disparity import DisparityState, disparity_step
+
+    cfg = disp_cfg
+    rng = np.random.default_rng(5)
+    # points in front of the camera: identity pose puts the optical (depth)
+    # axis along world +z (d = -fx/zc > 0 since the shipped fx is negative)
+    pts = np.array([[0.5, 0.3, 2.0], [-0.8, -0.2, 3.0], [0.2, -0.5, 2.5]])
+    # verify visibility under identity pose
+    u, v, d, fov = cam.world_to_disparity(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2]), jnp.zeros(12), cfg)
+    assert bool(fov.all()), (u, v, d)
+
+    state = DisparityState.create(cfg)
+    key = jax.random.PRNGKey(1)
+    for t in range(12):
+        z = _project_points(pts, np.zeros(12), cfg, rng)
+        m = cfg.maxMeasurements
+        z_uv = np.zeros((m, 2), np.float32)
+        z_val = np.zeros(m, bool)
+        k = min(len(z), m)
+        z_uv[:k] = z[:k]
+        z_val[:k] = True
+        key, sk = jax.random.split(key)
+        state, aux = disparity_step(state, sk, jnp.asarray(z_uv),
+                                    jnp.asarray(z_val), jnp.float32(cfg.dt),
+                                    jnp.asarray(t > 0), cfg)
+    w = np.asarray(state.w)
+    assert np.isfinite(w).all()
+    assert np.isfinite(np.asarray(state.log_weights)).all()
+    assert w.sum(1).mean() > 0.5, w.sum(1)
+    # cloud means of the best particle's strongest features should project
+    # near the true points' pixel coordinates
+    p = int(np.argmax(np.asarray(state.log_weights)))
+    order = np.argsort(-w[p])[:3]
+    mx = np.asarray(state.px[p][order].mean(-1))
+    my = np.asarray(state.py[p][order].mean(-1))
+    mz = np.asarray(state.pz[p][order].mean(-1))
+    est = np.stack([mx, my, mz], 1)
+    # each estimated feature close to some true point (in image space)
+    uu, vv, dd, _ = cam.world_to_disparity(
+        jnp.asarray(est[:, 0]), jnp.asarray(est[:, 1]),
+        jnp.asarray(est[:, 2]), jnp.zeros(12), cfg)
+    ut, vt, dt_, _ = cam.world_to_disparity(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2]), jnp.zeros(12), cfg)
+    duv = np.hypot(np.asarray(uu)[:, None] - np.asarray(ut)[None],
+                   np.asarray(vv)[:, None] - np.asarray(vt)[None])
+    assert (duv.min(1) < 25.0).all(), duv
