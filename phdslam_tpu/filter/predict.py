@@ -21,13 +21,8 @@ from phdslam_tpu.config import (
     MIXED_MODEL,
     STATIC_MODEL,
 )
-from phdslam_tpu.filter.state import GaussianMixture, SlamState
-from phdslam_tpu.models.motion import (
-    ackerman_predict,
-    cv_feature_predict,
-    cv_predict,
-    jump_markov_split,
-)
+from phdslam_tpu.filter.state import SlamState
+from phdslam_tpu.models.motion import ackerman_predict, cv_predict
 
 
 def shotgun_expand(state: SlamState, n_copies: int) -> SlamState:
@@ -66,33 +61,6 @@ def predict_pose(key, pose, control, cfg, dt):
     raise ValueError(f"unknown motionType {cfg.motionType}")
 
 
-def predict_map_dynamic(gm: GaussianMixture, cfg, dt):
-    """Dynamic (4-D CV) feature prediction with survival/jump-Markov weight
-    scaling (predictMapKernelMixed, src/phdfilter.cu:910-963).
-
-    Returns (gm_dynamic_predicted, jump_mixture) where the jump mixture holds
-    the 2-D static 'jump' copies. NOTE: the reference computes the jump
-    features but never inserts them into the static maps (the insert is
-    commented out, src/phdfilter.cu:1015-1020); we preserve that behavior and
-    expose the jump mixture to callers that want to differ.
-    """
-    w_dyn, w_jump, sx, sy = jump_markov_split(
-        gm.w, gm.mean, cfg, cfg.featureModel)
-    # per-feature noise scale enters as a scalar multiplier of Q; the scale
-    # factors differ per feature only in DYNAMIC model — handle via vmap
-    if cfg.featureModel == DYNAMIC_MODEL:
-        mean_p, cov_p = jax.vmap(
-            jax.vmap(
-                lambda m, c, a, b: cv_feature_predict(m, c, cfg, dt, a, b)))(
-            gm.mean, gm.cov, sx, sy)
-    else:
-        mean_p, cov_p = cv_feature_predict(gm.mean, gm.cov, cfg, dt)
-    gm_pred = GaussianMixture(w=w_dyn, mean=mean_p, cov=cov_p)
-    jump = GaussianMixture(
-        w=w_jump, mean=gm.mean[..., :2], cov=gm.cov[..., :2, :2])
-    return gm_pred, jump
-
-
 def predict(key, state: SlamState, control, cfg, dt) -> SlamState:
     """Full prediction: pose (with subdivision handled by caller) + map.
 
@@ -103,6 +71,8 @@ def predict(key, state: SlamState, control, cfg, dt) -> SlamState:
     state = state.replace(pose=pose)
     if cfg.featureModel in (DYNAMIC_MODEL, MIXED_MODEL) \
             and state.map_dynamic.max_features > 0:
-        gm_dyn, _jump = predict_map_dynamic(state.map_dynamic, cfg, dt)
-        state = state.replace(map_dynamic=gm_dyn)
+        from phdslam_tpu.filter.update4 import cv_predict4, jump_markov_scales
+        scale, _jump_w = jump_markov_scales(state.map_dynamic, cfg)
+        state = state.replace(map_dynamic=cv_predict4(
+            state.map_dynamic, cfg, dt, w_scale=scale))
     return state

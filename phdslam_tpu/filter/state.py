@@ -134,6 +134,80 @@ class Gaussian2DMixture:
 
 
 @struct.dataclass
+class Gaussian4DMixture:
+    """Channelized padded 4-D Gaussian mixture (dynamic features,
+    [x, y, vx, vy]).
+
+    w [..., F]; mean_channels [..., 4, F]; cov_channels [..., 10, F] with
+    the symmetric 4x4 packed in row-major upper-triangle order (see
+    update4.S4). The channel axis sits at -2 so the particle axis stays the
+    leading axis (uniform tree ops) while the big F axis stays TPU-tile
+    minor; the small channel dim pads at most 2x.
+    """
+
+    w: jax.Array
+    mean_channels: jax.Array
+    cov_channels: jax.Array
+
+    @property
+    def max_features(self) -> int:
+        return self.w.shape[-1]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.w > 0
+
+    @property
+    def cardinality(self) -> jax.Array:
+        return jnp.sum(self.w, axis=-1)
+
+    # --- assembly views (host/tooling) ---
+    @property
+    def mean(self) -> jax.Array:
+        return jnp.moveaxis(self.mean_channels, -2, -1)     # [..., F, 4]
+
+    @property
+    def cov(self) -> jax.Array:
+        c = self.cov_channels
+        idx = {}
+        k = 0
+        for i in range(4):
+            for j in range(i, 4):
+                idx[(i, j)] = k
+                k += 1
+        rows = []
+        for i in range(4):
+            rows.append(jnp.stack(
+                [c[..., idx[(min(i, j), max(i, j))], :] for j in range(4)],
+                axis=-1))
+        return jnp.moveaxis(jnp.stack(rows, axis=-3), -3, -2)
+
+    @classmethod
+    def empty(cls, batch_shape, max_features: int,
+              dtype=jnp.float32) -> "Gaussian4DMixture":
+        bs = tuple(batch_shape)
+        z = jnp.zeros(bs + (max_features,), dtype)
+        diag = [0, 4, 7, 9]
+        cov = jnp.stack([jnp.ones(bs + (max_features,), dtype)
+                         if k in diag else z for k in range(10)], axis=-2)
+        return cls(w=z,
+                   mean_channels=jnp.zeros(bs + (4, max_features), dtype),
+                   cov_channels=cov)
+
+    @classmethod
+    def from_arrays(cls, w, mean, cov) -> "Gaussian4DMixture":
+        mean = jnp.asarray(mean)
+        cov = jnp.asarray(cov)
+        ch = []
+        for i in range(4):
+            for j in range(i, 4):
+                ch.append(0.5 * (cov[..., i, j] + cov[..., j, i]))
+        return cls(w=jnp.asarray(w),
+                   mean_channels=jnp.moveaxis(mean, -1, -2),
+                   cov_channels=jnp.stack(ch, axis=-2))
+
+
+@struct.dataclass
 class SlamState:
     """Full Rao-Blackwellized particle filter state (one pytree).
 
@@ -146,7 +220,7 @@ class SlamState:
     pose: jax.Array            # [P, 6]
     log_weights: jax.Array     # [P], log-space, normalized after update
     map_static: Gaussian2DMixture  # [P, F] channels
-    map_dynamic: GaussianMixture   # [P, Fd, 4]
+    map_dynamic: Gaussian4DMixture  # [P, Fd] channels
     resample_idx: jax.Array    # [P] int32
     variances: jax.Array       # [P]
     cardinality: Optional[jax.Array] = None  # [P, Nmax+1] log-pmf (CPHD)
@@ -179,7 +253,7 @@ class SlamState:
             pose=pose,
             log_weights=jnp.full((n,), -jnp.log(float(n)), dtype),
             map_static=Gaussian2DMixture.empty((n,), f_static, dtype),
-            map_dynamic=GaussianMixture.empty((n,), f_dynamic, 4, dtype),
+            map_dynamic=Gaussian4DMixture.empty((n,), f_dynamic, dtype),
             resample_idx=jnp.arange(n, dtype=jnp.int32),
             variances=jnp.zeros((n,), dtype),
             cardinality=cardinality,

@@ -112,6 +112,16 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
             lw = lw - log_lik
             return st.replace(map_static=map_out, log_weights=lw,
                               cardinality=cn_update), log_lik
+        if cfg.featureModel in (1, 2):  # DYNAMIC / MIXED
+            from phdslam_tpu.filter.update4 import phd_update_mixed
+            gm2_out, gm4_out, dw = phd_update_mixed(
+                st.pose, st.map_static, st.map_dynamic, z.rb, z.label,
+                z.valid, cfg)
+            lw = st.log_weights + dw
+            log_lik = jax.scipy.special.logsumexp(lw)
+            lw = lw - log_lik
+            return st.replace(map_static=gm2_out, map_dynamic=gm4_out,
+                              log_weights=lw), log_lik
         res = phd_update_static(
             st.pose, st.map_static, z.rb, z.label, z.valid, cfg)
         lw = st.log_weights + res.log_weight_delta

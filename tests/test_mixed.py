@@ -1,0 +1,164 @@
+"""Dynamic / MIXED feature-model tests: 4-D Kalman machinery vs numpy
+oracles, CV feature prediction, 4-D merge, and an end-to-end moving-target
+tracking smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phdslam_tpu.config import load_config
+from phdslam_tpu.filter.state import Gaussian4DMixture
+from phdslam_tpu.filter import update4 as U4
+
+
+@pytest.fixture(scope="module")
+def mixed_cfg():
+    return load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=8, maxFeatures=16, maxMeasurements=8, y0=0.0,
+        featureModel=2, birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
+        stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0)
+
+
+def test_s4_indexing():
+    c = jnp.arange(10.0).reshape(1, 10, 1)
+    assert float(U4.s4(c, 0, 0)[0, 0]) == 0
+    assert float(U4.s4(c, 2, 0)[0, 0]) == 2  # symmetric access
+    assert float(U4.s4(c, 3, 3)[0, 0]) == 9
+
+
+def test_chol4_solve_matches_numpy(rng):
+    a = rng.normal(size=(4, 4))
+    cov = a @ a.T + 4 * np.eye(4)
+    d = rng.normal(size=4)
+    expect = d @ np.linalg.inv(cov) @ d
+    ch = [cov[i, j] for i in range(4) for j in range(i, 4)]
+    c = jnp.asarray(np.array(ch, np.float32)).reshape(1, 10, 1)
+    dv = jnp.asarray(d.astype(np.float32)).reshape(1, 4, 1)
+    got = float(U4.chol4_solve_sq(c, dv)[0, 0])
+    assert abs(got - expect) < 1e-3 * abs(expect)
+
+
+def test_cv_predict4_matches_matrix_form(mixed_cfg, rng):
+    cfg = mixed_cfg
+    a = rng.normal(size=(4, 4)).astype(np.float32)
+    cov = a @ a.T + np.eye(4, dtype=np.float32)
+    mean = rng.normal(size=4).astype(np.float32)
+    gm = Gaussian4DMixture.from_arrays(
+        jnp.ones((1, 1)), jnp.asarray(mean).reshape(1, 1, 4),
+        jnp.asarray(cov).reshape(1, 1, 4, 4))
+    dt = 0.5
+    out = U4.cv_predict4(gm, cfg, dt)
+    f = np.eye(4, dtype=np.float32)
+    f[0, 2] = f[1, 3] = dt
+    q = np.zeros((4, 4), np.float32)
+    vx, vy = cfg.stdAxMap ** 2, cfg.stdAyMap ** 2
+    q[0, 0], q[0, 2], q[2, 0], q[2, 2] = (dt**4 / 4 * vx, dt**3 / 2 * vx,
+                                          dt**3 / 2 * vx, dt**2 * vx)
+    q[1, 1], q[1, 3], q[3, 1], q[3, 3] = (dt**4 / 4 * vy, dt**3 / 2 * vy,
+                                          dt**3 / 2 * vy, dt**2 * vy)
+    expect_mean = f @ mean
+    expect_cov = f @ cov @ f.T + q
+    np.testing.assert_allclose(np.asarray(out.mean)[0, 0], expect_mean,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.cov)[0, 0], expect_cov,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_kalman_preupdate4_vs_numpy(mixed_cfg, rng):
+    """4-D EKF terms vs a dense numpy computation."""
+    cfg = mixed_cfg
+    pose = np.zeros((1, 6), np.float32)
+    mean = np.array([[3.0, 1.0, 0.3, -0.2]], np.float32)
+    a = rng.normal(size=(4, 4)).astype(np.float32) * 0.2
+    cov = a @ a.T + 0.5 * np.eye(4, dtype=np.float32)
+    gm = Gaussian4DMixture.from_arrays(
+        jnp.full((1, 1), 0.7), jnp.asarray(mean).reshape(1, 1, 4),
+        jnp.asarray(cov).reshape(1, 1, 4, 4))
+    pre = U4.kalman_preupdate4(jnp.asarray(pose), gm, cfg)
+
+    dx, dy = mean[0, 0], mean[0, 1]
+    r2 = dx * dx + dy * dy
+    r = np.sqrt(r2)
+    h = np.zeros((2, 4))
+    h[0, :2] = [dx / r, dy / r]
+    h[1, :2] = [-dy / r2, dx / r2]
+    rmat = np.diag([cfg.stdRange ** 2, cfg.stdBearing ** 2])
+    s = h @ cov @ h.T + rmat
+    k = cov @ h.T @ np.linalg.inv(s)
+    ikh = np.eye(4) - k @ h
+    p_up = ikh @ cov @ ikh.T + k @ rmat @ k.T
+
+    gain = np.asarray(pre.gain)[0, :, 0].reshape(4, 2)
+    np.testing.assert_allclose(gain, k, rtol=1e-3, atol=1e-4)
+    got_cov = np.zeros((4, 4))
+    cu = np.asarray(pre.cov_update)[0, :, 0]
+    kk = 0
+    for i in range(4):
+        for j in range(i, 4):
+            got_cov[i, j] = got_cov[j, i] = cu[kk]
+            kk += 1
+    np.testing.assert_allclose(got_cov, p_up, rtol=1e-3, atol=1e-4)
+
+
+def test_greedy_merge4_moment_match():
+    # two identical-cov 4-D gaussians 1 apart in x, large separation gate
+    w = jnp.asarray([[0.5, 0.5]])
+    mean = jnp.zeros((1, 4, 2)).at[0, 0, 1].set(1.0)
+    diag = [0, 4, 7, 9]
+    cov = jnp.stack([jnp.full((1, 2), 0.1) if k in diag
+                     else jnp.zeros((1, 2)) for k in range(10)], axis=1)
+    ow, om, oc = U4.greedy_merge4(w, mean, cov, 100.0, 2)
+    assert abs(float(ow[0, 0]) - 1.0) < 1e-6
+    assert abs(float(om[0, 0, 0]) - 0.5) < 1e-6
+    # merged xx variance = 0.1 + 0.25
+    assert abs(float(oc[0, 0, 0]) - 0.35) < 1e-5
+    assert float(ow[0, 1]) == 0.0
+
+
+def test_mixed_e2e_moving_target(mixed_cfg):
+    """MIXED model: static landmarks + one moving target; the filter tracks
+    the vehicle and the dynamic map picks up the mover with a velocity
+    estimate in the right direction."""
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import slam_step
+
+    cfg = mixed_cfg.replace(stdEncoder=0.05, stdAlpha=0.005,
+                            clutterRate=2.0)
+    rng = np.random.default_rng(2)
+    landmarks = np.array([[5.0, 2.0], [8.0, -3.0], [4.0, -5.0]])
+    mover0 = np.array([6.0, 4.0])
+    mover_v = np.array([-0.15, -0.25])
+    state = SlamState.create(cfg)
+    key = jax.random.PRNGKey(7)
+    pose = np.zeros(3)
+    T = 30
+    for t in range(T):
+        mover = mover0 + mover_v * t
+        pts = np.vstack([landmarks, mover[None]])
+        d = pts - pose[:2]
+        r = np.linalg.norm(d, axis=1) + rng.normal(0, cfg.stdRange, 4)
+        b = np.arctan2(d[:, 1], d[:, 0]) - pose[2] \
+            + rng.normal(0, cfg.stdBearing, 4)
+        m = cfg.maxMeasurements
+        z_rb = np.zeros((m, 2), np.float32)
+        z_rb[:4, 0] = r
+        z_rb[:4, 1] = b
+        z_val = np.zeros(m, bool)
+        z_val[:4] = True
+        z = Measurements(rb=jnp.asarray(z_rb),
+                         label=jnp.zeros(m, jnp.int32),
+                         valid=jnp.asarray(z_val))
+        key, sk = jax.random.split(key)
+        state, aux = slam_step(state, sk, (jnp.float32(0.1), jnp.float32(0)),
+                               z, jnp.float32(1.0), jnp.asarray(t > 0), cfg)
+    assert np.isfinite(np.asarray(state.log_weights)).all()
+    assert np.isfinite(np.asarray(state.map_dynamic.w)).all()
+    p = int(np.argmax(np.asarray(state.log_weights)))
+    w4 = np.asarray(state.map_dynamic.w[p])
+    assert w4.sum() > 0.2, w4        # dynamic map acquired mass
+    # strongest dynamic feature sits near the mover's current position
+    best = int(np.argmax(w4))
+    m4 = np.asarray(state.map_dynamic.mean[p, best])
+    mover_final = mover0 + mover_v * (T - 1)
+    assert np.linalg.norm(m4[:2] - mover_final) < 3.0, (m4, mover_final)
