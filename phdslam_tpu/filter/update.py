@@ -222,6 +222,19 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     # --- updated component weights (linear space) ---
     w_nondetect = jnp.where(pre.rclass == 1, gm.w * (1.0 - pre.pd), 0.0)
     w_detect = jnp.exp(lw - log_norm[..., None])              # [P, M, F]
+    if cfg.gateBirths:
+        # births only from measurements not explained by an existing
+        # feature (the dormant birthsKernel gating, N23:
+        # src/phdfilter.cu.bak:737-856; gate_threshold on the squared
+        # Mahalanobis innovation distance)
+        g_single = lw - safe_log(pre.pd)[:, None, :] \
+            - safe_log(gm.w)[:, None, :]
+        dist_mf = -2.0 * (g_single + LOG_2PI
+                          + 0.5 * pre.log_det_s[:, None, :])
+        compatible = jnp.any(
+            (dist_mf < cfg.gateThreshold) & (pre.rclass == 1)[:, None, :],
+            axis=-1)                                          # [P, M]
+        birth_ok = birth_ok & ~compatible
     w_birth = jnp.where(
         birth_ok & z_valid[None, :],
         birth_w_lin / normalizer, 0.0)                        # [P, M]
@@ -358,6 +371,51 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
         c00=take_u(m00, gm.c00),
         c01=take_u(m01, gm.c01),
         c11=take_u(m11, gm.c11))
+
+    if cfg.particleWeighting == 2:
+        # Vo single-feature weighting (host-side path,
+        # src/phdfilter.cu:3600-3660): pick the (measurement, feature) pair
+        # with the highest single-object likelihood N(innov; S); the weight
+        # factor compares predicted and updated PHD intensity at that
+        # feature's updated mean:
+        #   a = (1-pd)*kappa*m + pd*m*(m-1)*kappa*maxlik
+        #   b = exp(cn_update - cn_predict - clutterRate)
+        #   dlogw = log(a * v_predict(x*) / (b * v_update(x*)))
+        g_single = lw - safe_log(pre.pd)[:, None, :] \
+            - safe_log(gm.w)[:, None, :]
+        lik = jnp.where(jnp.isfinite(g_single), jnp.exp(g_single), 0.0)
+        flat = lik.reshape(P, M * F)
+        best = jnp.argmax(flat, axis=1)                       # [P]
+        max_lik = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+        m_star = best // F
+        f_star = best % F
+        take1 = lambda a: jnp.take_along_axis(a, f_star[:, None],
+                                              axis=1)[:, 0]
+        ir_s = z_rb[:, 0][m_star] - take1(pre.r)
+        ib_s = wrap_angle(z_rb[:, 1][m_star] - take1(pre.bearing))
+        x_star = take1(gm.mx) + take1(pre.g00) * ir_s + take1(pre.g01) * ib_s
+        y_star = take1(gm.my) + take1(pre.g10) * ir_s + take1(pre.g11) * ib_s
+
+        def intensity(mix, x, y):
+            dxm = x[:, None] - mix.mx
+            dym = y[:, None] - mix.my
+            det = jnp.maximum(mix.c00 * mix.c11 - mix.c01 ** 2, 1e-12)
+            maha = (dxm * dxm * mix.c11 - 2 * dxm * dym * mix.c01
+                    + dym * dym * mix.c00) / det
+            val = mix.w * jnp.exp(-0.5 * maha) / (
+                2.0 * jnp.pi * jnp.sqrt(det))
+            return jnp.sum(jnp.where(mix.w > 0, val, 0.0), axis=-1)
+
+        v_predict = intensity(gm, x_star, y_star)
+        v_update = intensity(map_out, x_star, y_star)
+        cn_predict2 = jnp.sum(gm.w, axis=-1)
+        cn_update2 = jnp.sum(map_out.w, axis=-1)
+        a = ((1.0 - cfg.pd) * cfg.clutterDensity * n_measure
+             + cfg.pd * n_measure * ((n_measure - 1.0)
+                                     * cfg.clutterDensity * max_lik))
+        b_fac = jnp.exp(cn_update2 - cn_predict2 - cfg.clutterRate)
+        dw = safe_log((a * v_predict)
+                      / jnp.maximum(b_fac * v_update, 1e-30))
 
     return UpdateResult(
         map_out=map_out,

@@ -111,6 +111,13 @@ def run_synth(cfg: SlamConfig, args) -> dict:
     ctrl_times = loaders.load_timestamps(
         os.path.join(data_dir, "control_times.txt"))
 
+    traj = None
+    if cfg.followTrajectory:
+        # follow a preset trajectory with a single particle
+        # (src/main.cpp:1121-1127, 1239-1243)
+        traj = loaders.load_trajectory(os.path.join(data_dir, "traj.txt"))
+        cfg = cfg.replace(n_particles=1)
+
     n_steps = len(meas_sets)
     if meas_times is not None:
         n_steps = len(meas_times) + len(ctrl_times)
@@ -163,7 +170,18 @@ def run_synth(cfg: SlamConfig, args) -> dict:
     # ---- loop mode ----
     poses_out = []
     z_prev = None
+    start_t = 0
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    if args.resume:
+        from phdslam_tpu import checkpoint as ckpt
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest:
+            state, key, start_t = ckpt.restore_checkpoint(latest)
+            start_t += 1
+            print(f"resumed from {latest} at step {start_t}")
     for t, s in enumerate(sched):
+        if t < start_t:
+            continue
         t0 = time.time()
         if s["z"] is not None:
             z = Measurements(rb=jnp.asarray(rb[s["z"]]),
@@ -180,6 +198,11 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                 else jnp.float32(0))
         dt = jnp.float32(s["dt"] if s["dt"] is not None else cfg.dt)
         key, sk = jax.random.split(key)
+        do_predict = t > 0 and s["predict"]
+        if traj is not None and t < len(traj):
+            state = state.replace(pose=jnp.broadcast_to(
+                jnp.asarray(traj[t]), state.pose.shape))
+            do_predict = False
 
         if t == 100 and args.checkpoint:
             with open(os.path.join(out_dir, "state100.pkl"), "wb") as f:
@@ -187,7 +210,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                                  z=jax.device_get(z)), f)
 
         state, aux = slam_step(state, sk, ctrl, z, dt,
-                               jnp.asarray(t > 0 and s["predict"]), cfg,
+                               jnp.asarray(do_predict), cfg,
                                z_prev=z_prev)
         z_prev = z
         jax.block_until_ready(state.log_weights)
@@ -202,6 +225,12 @@ def run_synth(cfg: SlamConfig, args) -> dict:
             log_lik=float(aux.log_lik),
             card=float(jnp.sum(state.map_static.w[0] > 0))))
         poses_out.append(np.asarray(aux.expected_pose))
+        if args.checkpoint_every and t > 0 and t % args.checkpoint_every == 0:
+            from phdslam_tpu import checkpoint as ckpt
+            ckpt.save_checkpoint(ckpt_dir, t, state, key)
+        if args.mat_export or cfg.saveAllMaps:
+            from phdslam_tpu.io.matdump import write_particles_mat
+            write_particles_mat(out_dir, t, jax.device_get(state))
         if np.isnan(float(aux.neff)):
             print("nan weights detected! exiting...")
             break
@@ -246,6 +275,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-logs", action="store_true")
     ap.add_argument("--checkpoint", action="store_true", default=True)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write a resumable checkpoint every K steps")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in out-dir")
+    ap.add_argument("--mat-export", action="store_true",
+                    help="write particlesXXXXX.mat each step "
+                         "(save_all_maps equivalent)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 

