@@ -47,6 +47,9 @@ def eap_map_np(weights_log, gm_w, gm_mean, gm_cov, min_separation):
     flat_w = w[valid]
     flat_mean = np.asarray(gm_mean)[valid]
     flat_cov = np.asarray(gm_cov)[valid]
+    from phdslam_tpu import native
+    if native.available():
+        return native.gm_reduce(flat_w, flat_mean, flat_cov, min_separation)
     return reduce_mixture_np(flat_w, flat_mean, flat_cov, min_separation)
 
 

@@ -26,7 +26,10 @@ import numpy as np
 def ospa_np(x, y, p: float = 1.0, c: float = 10.0):
     """Exact OSPA on host via scipy's Jonker-Volgenant assignment.
 
-    x [m,d], y [n,d] numpy arrays. Returns (ospa, loc, card)."""
+    x [m,d], y [n,d] numpy arrays. Returns (ospa, loc, card).
+
+    Uses the native C++ Jonker-Volgenant solver when built (native/), else
+    scipy."""
     from scipy.optimize import linear_sum_assignment
 
     x = np.atleast_2d(np.asarray(x, np.float64))
@@ -41,8 +44,12 @@ def ospa_np(x, y, p: float = 1.0, c: float = 10.0):
         m, n = n, m
     d = np.linalg.norm(x[:, None, :] - y[None, :, :], axis=-1)
     d = np.minimum(d, c)
-    rows, cols = linear_sum_assignment(d ** p)
-    total_loc = float((d[rows, cols] ** p).sum())
+    from phdslam_tpu import native
+    if native.available():
+        _, total_loc = native.hungarian(d ** p)
+    else:
+        rows, cols = linear_sum_assignment(d ** p)
+        total_loc = float((d[rows, cols] ** p).sum())
     err_cn = (c ** p * (n - m) / n) ** (1.0 / p)
     err_loc = (total_loc / n) ** (1.0 / p)
     err = ((total_loc + (n - m) * c ** p) / n) ** (1.0 / p)

@@ -1,0 +1,90 @@
+"""Multi-device sharding: the particle-axis data-parallel path must compile,
+execute, normalize weights globally, and agree with the single-device step.
+Runs on the conftest's 8-virtual-CPU-device backend."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phdslam_tpu.filter.state import Measurements, SlamState
+from phdslam_tpu.filter.step import slam_step
+from phdslam_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_measurements,
+    shard_state,
+    sharded_step,
+    state_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, jax.devices()
+    return make_mesh(8)
+
+
+def _inputs(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    m = cfg.maxMeasurements
+    k = m // 2
+    rb = np.zeros((m, 2), np.float32)
+    rb[:k, 0] = rng.uniform(1.0, cfg.maxRange, k)
+    rb[:k, 1] = rng.uniform(-1.0, 1.0, k)
+    valid = np.zeros(m, bool)
+    valid[:k] = True
+    z = Measurements(rb=jnp.asarray(rb), label=jnp.zeros((m,), jnp.int32),
+                     valid=jnp.asarray(valid))
+    return z
+
+
+def test_sharded_step_runs_and_normalizes(tiny_cfg, mesh):
+    cfg = tiny_cfg.replace(n_particles=32)
+    state = shard_state(SlamState.create(cfg), mesh)
+    z = replicate_measurements(_inputs(cfg), mesh)
+    step = sharded_step(cfg, mesh)
+    key = jax.random.PRNGKey(0)
+    for t in range(3):
+        key, sk = jax.random.split(key)
+        state, aux = step(state, sk, (jnp.float32(1.0), jnp.float32(0.05)),
+                          z, jnp.float32(1.0), jnp.asarray(t > 0))
+    total = float(jnp.sum(jnp.exp(state.log_weights)))
+    assert abs(total - 1.0) < 1e-3
+    assert np.isfinite(float(aux.neff))
+    # state stays sharded over the particle axis
+    shard = state.log_weights.sharding
+    assert len(shard.device_set) == 8
+
+
+def test_sharded_matches_single_device(tiny_cfg, mesh):
+    """Same inputs + same PRNG key: the sharded step must produce the same
+    numbers as the unsharded step (sharding is an implementation detail)."""
+    cfg = tiny_cfg.replace(n_particles=32)
+    z = _inputs(cfg)
+    key = jax.random.PRNGKey(3)
+
+    s_single = SlamState.create(cfg)
+    s_single, aux1 = slam_step(
+        s_single, key, (jnp.float32(1.0), jnp.float32(0.05)), z,
+        jnp.float32(1.0), jnp.asarray(False), cfg)
+
+    s_shard = shard_state(SlamState.create(cfg), mesh)
+    zr = replicate_measurements(z, mesh)
+    step = sharded_step(cfg, mesh)
+    s_shard, aux2 = step(s_shard, key, (jnp.float32(1.0), jnp.float32(0.05)),
+                         zr, jnp.float32(1.0), jnp.asarray(False))
+
+    np.testing.assert_allclose(np.asarray(aux1.expected_pose),
+                               np.asarray(aux2.expected_pose),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_single.log_weights),
+                               np.asarray(s_shard.log_weights),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_single.map_static.w),
+                               np.asarray(s_shard.map_static.w),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
