@@ -56,3 +56,27 @@ def write_particles_mat(directory: str, t: int, state, prefix="particles",
     path = os.path.join(directory, f"{prefix}{t:05d}.mat")
     savemat(path, {"particles": particles}, do_compression=True)
     return path
+
+
+def read_particles_mat(path: str):
+    """Parse a particlesXXXXX.mat back into plain numpy structures
+    (matlab/parseParticleFile.m equivalent)."""
+    from scipy.io import loadmat
+
+    d = loadmat(path, squeeze_me=False)
+    p = d["particles"][0, 0]
+    out = dict(
+        states=np.asarray(p["states"]),
+        weights=np.asarray(p["weights"]).ravel(),
+        variances=np.asarray(p["variances"]).ravel(),
+        resample_idx=np.asarray(p["resample_idx"]).ravel().astype(int),
+    )
+    for key in ("maps_static", "maps_dynamic"):
+        if key in p.dtype.names:
+            ms = p[key][0, 0]
+            out[key] = dict(
+                weights=[np.asarray(w).ravel() for w in ms["weights"].ravel()],
+                means=[np.asarray(m) for m in ms["means"].ravel()],
+                covs=[np.asarray(c) for c in ms["covs"].ravel()],
+            )
+    return out

@@ -209,6 +209,14 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                 pickle.dump(dict(state=jax.device_get(state),
                                  z=jax.device_get(z)), f)
 
+        if args.predict_time and do_predict:
+            from phdslam_tpu.filter.predict import predict as _predict
+            import jax as _jax
+            _pt0 = time.time()
+            _pred = _jax.jit(_predict, static_argnames=("cfg",))(
+                sk, state, ctrl, cfg, dt)
+            _jax.block_until_ready(_pred.pose)
+            logs.append_predict_time(out_dir, (time.time() - _pt0) * 1000)
         state, aux = slam_step(state, sk, ctrl, z, dt,
                                jnp.asarray(do_predict), cfg,
                                z_prev=z_prev)
@@ -282,6 +290,9 @@ def main(argv=None):
     ap.add_argument("--mat-export", action="store_true",
                     help="write particlesXXXXX.mat each step "
                          "(save_all_maps equivalent)")
+    ap.add_argument("--predict-time", action="store_true",
+                    help="additionally time the prediction alone each step "
+                         "-> predicttime.log (src/phdfilter.cu:1244-1251)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
