@@ -151,16 +151,21 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
     n_target = cfg.n_particles
     if p_now == n_target:
         trigger = (n_eff <= cfg.resampleThresh) & (n_measure > 0)
-        res_idx = stratified_resample_indices(
-            k_res, state.log_weights, n_target)
-        idx = jnp.where(trigger, res_idx,
-                        jnp.arange(n_target, dtype=jnp.int32))
-        new_lw = jnp.where(
-            trigger,
-            jnp.full((n_target,), -jnp.log(float(n_target)),
-                     state.log_weights.dtype),
-            state.log_weights)
-        state = _gather_particles(state, idx, new_lw)
+
+        def do_resample(st):
+            res_idx = stratified_resample_indices(
+                k_res, st.log_weights, n_target)
+            new_lw = jnp.full((n_target,), -jnp.log(float(n_target)),
+                              st.log_weights.dtype)
+            return _gather_particles(st, res_idx, new_lw)
+
+        def no_resample(st):
+            # identity lineage (src/main.cpp:1292-1297); cond avoids the
+            # full-map gather copy on non-resampling steps
+            return st.replace(
+                resample_idx=jnp.arange(n_target, dtype=jnp.int32))
+
+        state = jax.lax.cond(trigger, do_resample, no_resample, state)
         resampled = trigger
     else:
         # shotgun-expanded step: always resample back to the target count
