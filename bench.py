@@ -58,17 +58,20 @@ def bench_tpu(cfg, n_steps=12, warmup=3):
         return slam_step(state, key, u, z, jnp.float32(cfg.dt),
                          jnp.asarray(t > 0), cfg)
 
-    # warmup (compile + map fill-in)
+    # warmup (compile + map fill-in). NOTE: sync by fetching to host —
+    # through the experimental TPU tunnel jax.block_until_ready returns
+    # before the computation finishes (verified: a 2.75-TFLOP graph
+    # "completed" in 0.1 ms), so a fetch is the only honest barrier.
     for t in range(warmup):
         key, sk = jax.random.split(key)
         state, aux = one(state, sk, t)
-    jax.block_until_ready(state.log_weights)
+    _ = np.asarray(state.log_weights)
 
     t0 = time.perf_counter()
     for t in range(warmup, n_steps):
         key, sk = jax.random.split(key)
         state, aux = one(state, sk, t)
-    jax.block_until_ready(state.log_weights)
+    _ = np.asarray(state.log_weights)
     ms = (time.perf_counter() - t0) / (n_steps - warmup) * 1000.0
     assert np.isfinite(float(aux.neff)), "NaN in benchmark run"
     return ms

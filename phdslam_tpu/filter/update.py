@@ -189,7 +189,7 @@ class UpdateResult(NamedTuple):
     log_weight_delta: jax.Array  # [P] multi-object likelihood increment
     # factored update-component weights, for variance estimation / debugging
     w_nondetect: jax.Array       # [P, F]
-    w_detect: jax.Array          # [P, M, F]
+    w_detect: jax.Array          # [P, M, k1] selected terms
     w_birth: jax.Array           # [P, M]
     pre: PreUpdate               # measurement-independent Kalman terms
 
@@ -199,18 +199,48 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     """Full static-model PHD update for all particles.
 
     pose [P,6]; gm: [P,F] channelized 2-D mixture; z_rb [M,2]; z_valid [M].
+
+    Two equivalent backends:
+      - Pallas (TPU): the fused kernel streams the [P,F] channels once and
+        emits normalizer numerators + the per-measurement top-k1 detection
+        candidates with channels (kernels/preupdate_pallas.py)
+      - XLA (CPU/tests): materializes the [P,M,F] log-likelihoods and
+        selects with top_k + gathers
     """
     P, F = gm.w.shape
     M = z_rb.shape[0]
     dtype = gm.w.dtype
+    k1 = min(8, F)
 
     pre = kalman_preupdate(pose, gm, cfg)
-    lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
+
+    use_pallas = (jax.default_backend() in ("tpu", "axon")
+                  and P % 128 == 0 and F % 128 == 0)
+    if use_pallas:
+        from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+        (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+         lpw_sel, compatible) = fused_update_select(z_rb, pre, gm, cfg,
+                                                    k1=k1)
+        # per-measurement validity/label gating (column masks)
+        if cfg.labeledMeasurements:
+            m_ok = z_valid & (z_label == STATIC_MEASUREMENT)
+        else:
+            m_ok = z_valid
+        sum_exp = jnp.where(m_ok[None, :], sum_exp, 0.0)
+        w_sel = jnp.where(m_ok[None, :, None], w_sel, 0.0)
+    else:
+        lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
+        sum_exp = jnp.sum(jnp.exp(lw), axis=-1)               # [P, M]
+        # compatibility for birth gating (innovation distance gate)
+        g_single = lw - safe_log(pre.pd)[:, None, :] \
+            - safe_log(gm.w)[:, None, :]
+        dist_mf = -2.0 * (g_single + LOG_2PI
+                          + 0.5 * pre.log_det_s[:, None, :])
+        compatible = jnp.any(
+            (dist_mf < cfg.gateThreshold) & (pre.rclass == 1)[:, None, :],
+            axis=-1)                                          # [P, M]
 
     # --- per-measurement normalizers (src/phdfilter.cu:2190-2223) ---
-    # The reference sums raw exp() of the log partial weights, then adds
-    # clutter density and birth weight.
-    sum_exp = jnp.sum(jnp.exp(lw), axis=-1)                  # [P, M]
     birth_w_lin = jnp.asarray(cfg.birthWeight, dtype)
     if cfg.labeledMeasurements:
         birth_ok = (z_label == STATIC_MEASUREMENT)[None, :]
@@ -221,19 +251,12 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
 
     # --- updated component weights (linear space) ---
     w_nondetect = jnp.where(pre.rclass == 1, gm.w * (1.0 - pre.pd), 0.0)
-    w_detect = jnp.exp(lw - log_norm[..., None])              # [P, M, F]
+    if not use_pallas:
+        w_detect = jnp.exp(lw - log_norm[..., None])          # [P, M, F]
     if cfg.gateBirths:
         # births only from measurements not explained by an existing
         # feature (the dormant birthsKernel gating, N23:
-        # src/phdfilter.cu.bak:737-856; gate_threshold on the squared
-        # Mahalanobis innovation distance)
-        g_single = lw - safe_log(pre.pd)[:, None, :] \
-            - safe_log(gm.w)[:, None, :]
-        dist_mf = -2.0 * (g_single + LOG_2PI
-                          + 0.5 * pre.log_det_s[:, None, :])
-        compatible = jnp.any(
-            (dist_mf < cfg.gateThreshold) & (pre.rclass == 1)[:, None, :],
-            axis=-1)                                          # [P, M]
+        # src/phdfilter.cu.bak:737-856)
         birth_ok = birth_ok & ~compatible
     w_birth = jnp.where(
         birth_ok & z_valid[None, :],
@@ -252,11 +275,12 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     else:
         # Vo empty-map (scheme 1):
         #   m*clutterDensity + cn_update - cn_predict - clutterRate
+        # total detection mass per measurement = sum_exp / normalizer
         in_mask = pre.rclass == 1
         cn_predict = jnp.sum(jnp.where(in_mask, gm.w, 0.0), axis=-1)
         cn_update = (jnp.sum(w_nondetect, axis=-1)
-                     + jnp.sum(w_detect * mvalid[None, :, None],
-                               axis=(-2, -1))
+                     + jnp.sum(sum_exp / normalizer * mvalid[None, :],
+                               axis=-1)
                      + jnp.sum(w_birth * mvalid[None, :], axis=-1))
         dw = (n_measure * cfg.clutterDensity + cn_update - cn_predict
               - cfg.clutterRate)
@@ -264,113 +288,73 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     # --- prune (merge flags, src/phdfilter.cu:2307-2319) ---
     minw = cfg.minFeatureWeight
     w_nd_p = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
-    w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
     w_birth_p = jnp.where(w_birth >= minw, w_birth, 0.0)
 
-    # --- build the merge candidate pool ---------------------------------
-    # Stage 1: per-measurement top-k1 over features. A measurement's
-    # normalized detection weights are concentrated on the few features
-    # inside its gate (post-merge features are >= minSeparation apart), so
-    # k1 slots per measurement lose only sub-prune-threshold mass while
-    # shrinking the global selection problem — and its sort workspace —
-    # by ~F/k1 (the [P, M*F] flat pool OOMs the dense-stress config).
-    k1 = min(16, F)
-    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)             # [P,M,k1]
+    # --- merge candidate pool -------------------------------------------
+    # Three mutually exclusive, gather-free sections (no global top-k: TPU
+    # sorts and row-gathers at [P, M*F] scale measured 0.8-2 s at the dense
+    # stress config; the sectioned layout removes them entirely):
+    #   [0, F)           originals: non-detection terms for in-range
+    #                    features, untouched weights for near/out-of-range
+    #                    ones (the reference's out1 features bypass the
+    #                    merge; here they participate — geometrically >1.2x
+    #                    maxRange from every update candidate, so they only
+    #                    ever co-cluster with each other, which is benign)
+    #   [F, F + M*k1)    per-measurement top-k1 detection terms
+    #   [F + M*k1, ...)  birth terms
+    in_mask = pre.rclass == 1
+    w_sec1 = jnp.where(in_mask, w_nd_p, gm.w)
 
-    # Stage 2: global top-K over the compacted flat pool:
-    #   [0,F)            : nearly-in-range originals (merged, not pruned,
-    #                       src/phdfilter.cu:3218-3257)
-    #   [F,2F)           : non-detection terms
-    #   [2F,2F+M*k1)     : detection terms, index 2F + m*k1 + j
-    #   [2F+M*k1, ...)   : birth terms
-    w_near = jnp.where(pre.rclass == 2, gm.w, 0.0)
-    w_pool = jnp.concatenate(
-        [w_near, w_nd_p, w_det_k.reshape(P, M * k1), w_birth_p], axis=-1)
+    if not use_pallas:
+        # per-measurement selection via top_k + small gathers along F
+        w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
+        w_sel, f_sel = jax.lax.top_k(w_det_p, k1)             # [P,M,k1]
+        take_sel = lambda a: jnp.take_along_axis(
+            a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+        ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
+        ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
+        mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
+            + take_sel(pre.g01) * ib_sel
+        my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
+            + take_sel(pre.g11) * ib_sel
+        u00_sel = take_sel(pre.u00)
+        u01_sel = take_sel(pre.u01)
+        u11_sel = take_sel(pre.u11)
+        lpw_sel = safe_log(take_sel(pre.pd)) + safe_log(take_sel(gm.w))
+    else:
+        # pallas path already pruned at minw inside the kernel
+        pass
 
-    K = min(cfg.merge_pool_size, w_pool.shape[-1])
-    top_w, top_idx = jax.lax.top_k(w_pool, K)                 # [P, K]
-
-    # decode candidate kind and reconstruct mean/cov channels per candidate
-    is_near = top_idx < F
-    is_nd = (top_idx >= F) & (top_idx < 2 * F)
-    is_det = (top_idx >= 2 * F) & (top_idx < 2 * F + M * k1)
-    f_near = jnp.clip(top_idx, 0, F - 1)
-    f_nd = jnp.clip(top_idx - F, 0, F - 1)
-    det_off = jnp.clip(top_idx - 2 * F, 0, M * k1 - 1)
-    m_det = det_off // k1
-    # map the per-measurement slot back to its original feature index
-    f_det = jnp.take_along_axis(
-        f_det_k.reshape(P, M * k1), det_off, axis=1)
-    m_birth = jnp.clip(top_idx - 2 * F - M * k1, 0, M - 1)
-
-    f_orig = jnp.where(is_near, f_near, f_nd)                 # near/nondet
-    f_any = jnp.where(is_det, f_det, f_orig)
-
-    take_f = lambda arr: jnp.take_along_axis(arr, f_any, axis=1)  # [P,K]
-    mx_f = take_f(gm.mx)
-    my_f = take_f(gm.my)
-    c00_f = take_f(gm.c00)
-    c01_f = take_f(gm.c01)
-    c11_f = take_f(gm.c11)
-    g00 = take_f(pre.g00)
-    g01 = take_f(pre.g01)
-    g10 = take_f(pre.g10)
-    g11 = take_f(pre.g11)
-    u00 = take_f(pre.u00)
-    u01 = take_f(pre.u01)
-    u11 = take_f(pre.u11)
-    # recompute the innovation for just the K selected (m, f) pairs
-    r_f = take_f(pre.r)
-    b_f = take_f(pre.bearing)
-    m_safe = jnp.clip(m_det, 0, M - 1)
-    innov_r = z_rb[:, 0][m_safe] - r_f                        # [P,K]
-    innov_b = wrap_angle(z_rb[:, 1][m_safe] - b_f)
-    mx_det = mx_f + g00 * innov_r + g01 * innov_b
-    my_det = my_f + g10 * innov_r + g11 * innov_b
-
-    # births at the selected measurement slots, channelized closed form
-    # (computeBirth, src/phdfilter.cu:205-242): J columns (cos t, sin t) and
-    # (-dy, dx) — exact for zero/negative ranges too
-    z_r_b = z_rb[:, 0][m_birth]                               # [P,K]
-    theta_b = pose[:, None, 2] + z_rb[:, 1][m_birth]
+    # births, channelized closed form (computeBirth,
+    # src/phdfilter.cu:205-242): J columns (cos t, sin t) and (-dy, dx) —
+    # exact for zero/negative ranges too
+    theta_b = pose[:, None, 2] + z_rb[None, :, 1]
     ct, st = jnp.cos(theta_b), jnp.sin(theta_b)
-    bdx = z_r_b * ct
-    bdy = z_r_b * st
-    mx_b = pose[:, None, 0] + bdx
-    my_b = pose[:, None, 1] + bdy
+    bdx = z_rb[None, :, 0] * ct
+    bdy = z_rb[None, :, 0] * st
     var_rb = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
     var_bb = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
-    b00 = ct * ct * var_rb + bdy * bdy * var_bb
-    b01 = ct * st * var_rb - bdy * bdx * var_bb
-    b11 = st * st * var_rb + bdx * bdx * var_bb
 
-    is_orig = is_near | is_nd
-    pick3 = lambda orig, det, birth: jnp.where(
-        is_orig, orig, jnp.where(is_det, det, birth))
-    cand_mx = pick3(mx_f, mx_det, mx_b)
-    cand_my = pick3(my_f, my_det, my_b)
-    cand_00 = pick3(c00_f, u00, b00)
-    cand_01 = pick3(c01_f, u01, b01)
-    cand_11 = pick3(c11_f, u11, b11)
-    cand_w = jnp.maximum(top_w, 0.0)
+    flat = lambda a: a.reshape(P, M * k1)
+    cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=-1)
+    cand_w = cat(w_sec1, flat(jnp.where(w_sel >= minw, w_sel, 0.0)),
+                 w_birth_p)
+    cand_mx = cat(gm.mx, flat(mx_sel), pose[:, None, 0] + bdx)
+    cand_my = cat(gm.my, flat(my_sel), pose[:, None, 1] + bdy)
+    cand_00 = cat(gm.c00, flat(u00_sel),
+                  ct * ct * var_rb + bdy * bdy * var_bb)
+    cand_01 = cat(gm.c01, flat(u01_sel),
+                  ct * st * var_rb - bdy * bdx * var_bb)
+    cand_11 = cat(gm.c11, flat(u11_sel),
+                  st * st * var_rb + bdx * bdx * var_bb)
 
     # --- greedy merge (src/phdfilter.cu:2707-2898) ------------------------
+    # the merged output IS the new padded map: no union/top-k compaction
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
         cfg.minSeparation, F, metric=cfg.distanceMetric)
-
-    # --- union with out-of-range pass-through (src/phdfilter.cu:3258-3291)
-    w_out_range = jnp.where(pre.rclass == 0, gm.w, 0.0)
-    union = lambda a, b: jnp.concatenate([a, b], axis=-1)
-    top_uw, u_idx = jax.lax.top_k(union(mw, w_out_range), F)  # [P,F]
-    take_u = lambda a, b: jnp.take_along_axis(union(a, b), u_idx, axis=1)
-    map_out = Gaussian2DMixture(
-        w=top_uw,
-        mx=take_u(mmx, gm.mx),
-        my=take_u(mmy, gm.my),
-        c00=take_u(m00, gm.c00),
-        c01=take_u(m01, gm.c01),
-        c11=take_u(m11, gm.c11))
+    map_out = Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
+                                c11=m11)
 
     if cfg.particleWeighting == 2:
         # Vo single-feature weighting (host-side path,
@@ -381,20 +365,15 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
         #   a = (1-pd)*kappa*m + pd*m*(m-1)*kappa*maxlik
         #   b = exp(cn_update - cn_predict - clutterRate)
         #   dlogw = log(a * v_predict(x*) / (b * v_update(x*)))
-        g_single = lw - safe_log(pre.pd)[:, None, :] \
-            - safe_log(gm.w)[:, None, :]
-        lik = jnp.where(jnp.isfinite(g_single), jnp.exp(g_single), 0.0)
-        flat = lik.reshape(P, M * F)
-        best = jnp.argmax(flat, axis=1)                       # [P]
-        max_lik = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
-        m_star = best // F
-        f_star = best % F
-        take1 = lambda a: jnp.take_along_axis(a, f_star[:, None],
-                                              axis=1)[:, 0]
-        ir_s = z_rb[:, 0][m_star] - take1(pre.r)
-        ib_s = wrap_angle(z_rb[:, 1][m_star] - take1(pre.bearing))
-        x_star = take1(gm.mx) + take1(pre.g00) * ir_s + take1(pre.g01) * ib_s
-        y_star = take1(gm.my) + take1(pre.g10) * ir_s + take1(pre.g11) * ib_s
+        lik_sel = w_sel * normalizer[:, :, None] / jnp.maximum(
+            jnp.exp(lpw_sel), 1e-30)
+        flat_lik = lik_sel.reshape(P, M * k1)
+        best = jnp.argmax(flat_lik, axis=1)
+        max_lik = jnp.take_along_axis(flat_lik, best[:, None], axis=1)[:, 0]
+        x_star = jnp.take_along_axis(flat(mx_sel), best[:, None],
+                                     axis=1)[:, 0]
+        y_star = jnp.take_along_axis(flat(my_sel), best[:, None],
+                                     axis=1)[:, 0]
 
         def intensity(mix, x, y):
             dxm = x[:, None] - mix.mx
@@ -421,7 +400,7 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
         map_out=map_out,
         log_weight_delta=dw,
         w_nondetect=w_nondetect,
-        w_detect=w_detect * mvalid[None, :, None],
+        w_detect=w_sel * mvalid[None, :, None],
         w_birth=w_birth * mvalid[None, :],
         pre=pre,
     )

@@ -1,30 +1,24 @@
-"""Fused particle x measurement x feature likelihood kernel (Pallas, TPU).
+"""Fused particle x measurement x feature update kernel (Pallas, TPU).
 
-The north-star kernel replacing preUpdateSynthKernel + the normalizer loop
-of phdUpdateKernel (src/phdfilter.cu:1824-1925, 2190-2223): for every
-(particle, measurement) pair it computes
+The north-star kernel replacing preUpdateSynthKernel + the normalizer and
+selection stages of phdUpdateKernel (src/phdfilter.cu:1824-1925,
+2190-2245): in a single pass over the [P, F] Kalman channel inputs held in
+VMEM it computes, per (particle, measurement):
 
-    sum_exp[p, m] = sum_f exp( log pd_f + log w_f + log N(z_m - h_f; S_f) )
+  - sum_exp[p, m] = sum_f exp(log pd + log w + log N(z_m - h_f; S_f))
+    (the per-measurement PHD normalizer numerator)
+  - the k1 strongest *normalized, pruned* detection terms with their
+    updated means and the channels needed by the merge
+    (w, mx, my, u00, u01, u11, log(pd*w)) — i.e. the detection section of
+    the merge candidate pool, fully materialized
 
-— the per-measurement PHD normalizer numerator — plus the scheme-0 particle
-weight ingredients, streaming over feature tiles held in VMEM so the
-[P, M, F] log-likelihood tensor never exists in HBM (at the dense-stress
-config it is >1 GB per materialization; this kernel reads the [P, F]
-channel inputs exactly once).
+Why: XLA's generic path materializes the [P,M,F] detection tensor and
+selects with sort-based top_k + row gathers, which measure at 0.8-2 s at
+the dense-stress config on this TPU. The kernel never touches HBM with
+[P,M,F] data and does selection as k1 masked-max passes on VMEM tiles.
 
-Layout matches the filter: channel-separated scalars. Measurements ride in
-as a small replicated [M, 2] block (the analog of the reference's
-__constant__ RangeBearingMeasurement Z[256], src/phdfilter.cu:120).
-
-The candidate-selection top-k stays outside (XLA's TPU top_k custom call is
-already optimal for it and needs the w_det values only for the selected
-k1 << F slots, recomputed from the outputs here).
-
-Measured on one v5e chip (P=2048, F=512, M=64): numerically exact vs the
-XLA path (2e-6 max relative) at matched throughput — the op is bound by the
-VPU transcendental (exp) rate, which XLA's elementwise fusion already
-saturates, so the kernel's value is the HBM savings at configurations where
-the [P,M,F] intermediates would not fit, not raw speed.
+Outputs use [M, k1, P] / [M, P] layouts (big P axis tile-minor); callers
+transpose the small results.
 """
 
 from __future__ import annotations
@@ -42,72 +36,122 @@ NEG_LARGE = -1e30
 
 
 def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
-            lds_ref, sum_ref, *, n_measure: int):
-    """One program: a [TP, F] tile of particles-x-features against all M
-    measurements. lpw = log(pd * w) precomputed channel (the
-    measurement-independent part of the partial weight)."""
+            lds_ref, mx_ref, my_ref, g00_ref, g01_ref, g10_ref, g11_ref,
+            u00_ref, u01_ref, u11_ref,
+            sum_ref, wsel_ref, mxsel_ref, mysel_ref, u00sel_ref,
+            u01sel_ref, u11sel_ref, lpwsel_ref, compat_ref,
+            *, n_measure: int, k1: int, clutter_birth: float,
+            min_weight: float, gate_threshold: float):
     r = r_ref[:, :]
     b = b_ref[:, :]
-    base = lpw_ref[:, :] - LOG_2PI - 0.5 * lds_ref[:, :]
+    lpw = lpw_ref[:, :]
+    base = lpw - LOG_2PI - 0.5 * lds_ref[:, :]
     si00 = si00_ref[:, :]
     si01 = si01_ref[:, :]
     si11 = si11_ref[:, :]
-
+    tp, F = r.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
     two_pi = 2.0 * math.pi
-    cols = []
-    # static unroll over measurements (M <= a few hundred; the reference
-    # similarly loops over const-memory Z inside the kernel)
-    for m in range(n_measure):
+
+    def one_measurement(m, _):
         ir = z_ref[m, 0] - r
         ib = z_ref[m, 1] - b
-        # wrap to [-pi, pi] (device_math.cuh:242-251)
         ib = ib - two_pi * jnp.round(ib / two_pi)
         dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
-        cols.append(jnp.sum(jnp.exp(base - 0.5 * dist), axis=1))
-    sum_ref[:, :] = jnp.stack(cols, axis=1)
+        e = jnp.exp(base - 0.5 * dist)                     # [tp, F]
+        s = jnp.sum(e, axis=1)                             # [tp]
+        sum_ref[m, :] = s
+        # birth-gating compatibility: any in-range feature within the
+        # innovation gate (in-range <=> finite lpw here)
+        in_rng = lpw > (0.5 * NEG_LARGE)
+        compat_ref[m, :] = jnp.max(
+            jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0), axis=1)
+        w_det = e * (1.0 / (s + clutter_birth))[:, None]
+        w_det = jnp.where(w_det >= min_weight, w_det, 0.0)
+        # detection means for this measurement (shared across picks)
+        mxd = mx_ref[:, :] + g00_ref[:, :] * ir + g01_ref[:, :] * ib
+        myd = my_ref[:, :] + g10_ref[:, :] * ir + g11_ref[:, :] * ib
+
+        wrem = w_det
+        for j in range(k1):
+            mval = jnp.max(wrem, axis=1)                   # [tp]
+            hit = wrem == mval[:, None]
+            first = jnp.min(jnp.where(hit, iota, F), axis=1)
+            onehot = iota == first[:, None]
+            pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
+            wsel_ref[m, j, :] = jnp.where(mval > 0.0, mval, 0.0)
+            mxsel_ref[m, j, :] = pick(mxd)
+            mysel_ref[m, j, :] = pick(myd)
+            u00sel_ref[m, j, :] = pick(u00_ref[:, :])
+            u01sel_ref[m, j, :] = pick(u01_ref[:, :])
+            u11sel_ref[m, j, :] = pick(u11_ref[:, :])
+            lpwsel_ref[m, j, :] = pick(lpw)
+            wrem = jnp.where(onehot, 0.0, wrem)
+        return 0
+
+    jax.lax.fori_loop(0, n_measure, one_measurement, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_p",))
-def fused_sum_exp(z_rb, r, bearing, log_pd_w, si00, si01, si11, log_det_s,
-                  tile_p: int = 128):
-    """sum_exp [P, M] = per-measurement normalizer numerators.
+@functools.partial(jax.jit, static_argnums=(3,),
+                   static_argnames=("k1", "tile_p", "interpret"))
+def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
+                        tile_p: int = 128, interpret: bool = False):
+    """Run the fused kernel. pre: filter.update.PreUpdate channels; gm:
+    Gaussian2DMixture. Returns (sum_exp [P,M], w_sel, mx_sel, my_sel,
+    u00_sel, u01_sel, u11_sel, lpw_sel — each [P,M,k1]).
 
-    z_rb [M, 2]; all channel args [P, F]. Masked slots must carry
-    log_pd_w = -inf (exp -> 0) and finite Kalman channels. P must be a
-    multiple of tile_p (pad the particle axis if needed).
+    Also returns compat [P, M] (1.0 where some in-range feature falls
+    within cfg.gateThreshold of the measurement — birth gating, N23).
+    Padded/invalid measurement columns produce garbage — callers mask with
+    z_valid exactly as in the XLA path.
     """
-    P, F = r.shape
+    from phdslam_tpu.ops.linalg import safe_log
+
+    P, F = pre.r.shape
     M = z_rb.shape[0]
     assert P % tile_p == 0, (P, tile_p)
-    grid = (P // tile_p,)
+    lpw = jnp.maximum(safe_log(pre.pd) + safe_log(gm.w), NEG_LARGE)
+
     chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    # replace -inf with a large negative finite value: exp underflows to 0
-    # identically and the kernel arithmetic stays NaN-free
-    lpw = jnp.maximum(log_pd_w, NEG_LARGE)
-    return pl.pallas_call(
-        functools.partial(_kernel, n_measure=M),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((M, 2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            chan, chan, chan, chan, chan, chan, chan,
-        ],
-        out_specs=pl.BlockSpec((tile_p, M), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, M), r.dtype),
+    out_mp = pl.BlockSpec((M, tile_p), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    out_mkp = pl.BlockSpec((M, k1, tile_p), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    dtype = pre.r.dtype
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel, n_measure=M, k1=k1,
+            clutter_birth=float(cfg.clutterDensity + cfg.birthWeight),
+            min_weight=float(cfg.minFeatureWeight),
+            gate_threshold=float(cfg.gateThreshold)),
+        grid=(P // tile_p,),
+        in_specs=[pl.BlockSpec((M, 2), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] + [chan] * 16,
+        out_specs=(out_mp,) + (out_mkp,) * 7 + (out_mp,),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, P), dtype),
+        ) + tuple(jax.ShapeDtypeStruct((M, k1, P), dtype)
+                  for _ in range(7))
+        + (jax.ShapeDtypeStruct((M, P), dtype),),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(14e6)),
         cost_estimate=pl.CostEstimate(
-            flops=10 * P * M * F,
-            bytes_accessed=(8 * P * F + P * M) * 4,
+            flops=(12 + 10 * k1) * P * M * F,
+            bytes_accessed=(16 * P * F + 8 * P * M * k1) * 4,
             transcendentals=P * M * F),
-    )(z_rb, r, bearing, lpw, si00, si01, si11, log_det_s)
+        interpret=interpret,
+    )(z_rb, pre.r, pre.bearing, lpw, pre.si00, pre.si01, pre.si11,
+      pre.log_det_s, gm.mx, gm.my, pre.g00, pre.g01, pre.g10, pre.g11,
+      pre.u00, pre.u01, pre.u11)
+    sum_exp = jnp.transpose(outs[0], (1, 0))               # [P, M]
+    sel = [jnp.transpose(o, (2, 0, 1)) for o in outs[1:8]]  # [P, M, k1]
+    compat = jnp.transpose(outs[8], (1, 0)) > 0.5          # [P, M]
+    return (sum_exp,) + tuple(sel) + (compat,)
 
 
 def sum_exp_reference(z_rb, z_valid, pre, gm, cfg):
-    """XLA reference path for the same quantity (used by tests and as the
-    CPU fallback): materializes the [P, M, F] log-likelihoods."""
+    """XLA reference path for the normalizer numerators (tests/fallback)."""
     from phdslam_tpu.filter.update import detection_log_weights
 
     lw = detection_log_weights(pre, gm, z_rb,

@@ -1,0 +1,159 @@
+"""TPU check: fused Pallas kernel path vs XLA path of phd_update_static.
+
+Builds a random-but-realistic update problem, runs the full update once with
+the kernel (TPU backend triggers it) and once with the XLA selection path
+(forced), and compares normalizers, particle weight deltas, and merged maps.
+Then times the dense-stress step both ways with a true device sync
+(np.asarray fetch — block_until_ready is a no-op through the tunnel).
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phdslam_tpu.config import load_config
+from phdslam_tpu.utils import ensure_backend
+
+ensure_backend()
+from phdslam_tpu.filter import update as U
+from phdslam_tpu.filter.state import Gaussian2DMixture
+
+QUICK = "--quick" in sys.argv
+
+
+def make_problem(key, cfg, P, F, M):
+    ks = jax.random.split(key, 8)
+    pose = jnp.concatenate([
+        jax.random.uniform(ks[0], (P, 2), minval=-2, maxval=2),
+        jax.random.uniform(ks[1], (P, 1), minval=-3, maxval=3),
+        jnp.zeros((P, 3))], axis=1).astype(jnp.float32)
+    n_act = F * 3 // 4
+    mx = jax.random.uniform(ks[2], (P, F), minval=-0.7 * cfg.maxRange,
+                            maxval=0.7 * cfg.maxRange)
+    my = jax.random.uniform(ks[3], (P, F), minval=-0.7 * cfg.maxRange,
+                            maxval=0.7 * cfg.maxRange)
+    w = jnp.where(jnp.arange(F) < n_act,
+                  jax.random.uniform(ks[4], (P, F), minval=0.05, maxval=1.5),
+                  0.0)
+    c00 = jax.random.uniform(ks[5], (P, F), minval=0.05, maxval=2.0)
+    c11 = jax.random.uniform(ks[6], (P, F), minval=0.05, maxval=2.0)
+    c01 = 0.3 * jnp.sqrt(c00 * c11) * jax.random.uniform(
+        ks[7], (P, F), minval=-1, maxval=1)
+    gm = Gaussian2DMixture(w=w.astype(jnp.float32), mx=mx.astype(jnp.float32),
+                           my=my.astype(jnp.float32),
+                           c00=c00.astype(jnp.float32),
+                           c01=c01.astype(jnp.float32),
+                           c11=c11.astype(jnp.float32))
+    kz1, kz2 = jax.random.split(ks[0])
+    rng = jax.random.uniform(kz1, (M,), minval=0.3, maxval=0.95 * cfg.maxRange)
+    brg = jax.random.uniform(kz2, (M,), minval=-0.9 * cfg.maxBearing,
+                             maxval=0.9 * cfg.maxBearing)
+    z_rb = jnp.stack([rng, brg], axis=1).astype(jnp.float32)
+    z_label = jnp.zeros((M,), jnp.int32)
+    z_valid = jnp.arange(M) < (M - 3)
+    return pose, gm, z_rb, z_label, z_valid
+
+
+def run_both(cfg, pose, gm, z_rb, z_label, z_valid):
+    import phdslam_tpu.filter.update as upd
+
+    res_pal = jax.jit(U.phd_update_static, static_argnames=("cfg",))(
+        pose, gm, z_rb, z_label, z_valid, cfg)
+    res_pal = jax.tree.map(np.asarray, res_pal)
+
+    # force the XLA path by lying about the backend inside the trace
+    real = jax.default_backend
+    jax.default_backend = lambda: "forced_xla"
+    try:
+        f = jax.jit(U.phd_update_static, static_argnames=("cfg",))
+        res_xla = f(pose, gm, z_rb, z_label, z_valid, cfg)
+        res_xla = jax.tree.map(np.asarray, res_xla)
+    finally:
+        jax.default_backend = real
+    return res_pal, res_xla
+
+
+def compare(res_pal, res_xla):
+    def summarize(name, a, b, tol):
+        d = np.max(np.abs(a - b))
+        rel = d / (np.max(np.abs(b)) + 1e-30)
+        ok = rel < tol or d < tol
+        print(f"  {name:24s} max|d|={d:.3e} rel={rel:.3e} "
+              f"{'OK' if ok else 'MISMATCH'}")
+        return ok
+
+    ok = True
+    ok &= summarize("log_weight_delta", res_pal.log_weight_delta,
+                    res_xla.log_weight_delta, 2e-3)
+    ok &= summarize("w_nondetect", res_pal.w_nondetect,
+                    res_xla.w_nondetect, 1e-5)
+    ok &= summarize("w_birth", res_pal.w_birth, res_xla.w_birth, 1e-5)
+    # merged maps: compare total mass and sorted weights (selection ties can
+    # reorder equal-weight components)
+    wp = np.sort(res_pal.map_out.w, axis=1)
+    wx = np.sort(res_xla.map_out.w, axis=1)
+    ok &= summarize("map weights (sorted)", wp, wx, 5e-3)
+    ok &= summarize("map mass", res_pal.map_out.w.sum(1),
+                    res_xla.map_out.w.sum(1), 2e-3)
+    mp = np.sort(res_pal.map_out.mx * (res_pal.map_out.w > 0), axis=1)
+    mxx = np.sort(res_xla.map_out.mx * (res_xla.map_out.w > 0), axis=1)
+    ok &= summarize("map means x (sorted)", mp, mxx, 5e-3)
+    return ok
+
+
+def main():
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    cfg = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=256, maxFeatures=128, maxMeasurements=32,
+        gateBirths=True, gateThreshold=9.0)
+    key = jax.random.PRNGKey(0)
+    prob = make_problem(key, cfg, 256, 128, 32)
+    print("== parity: P=256 F=128 M=32, scheme", cfg.particleWeighting)
+    ok = compare(*run_both(cfg, *prob))
+
+    cfg1 = cfg.replace(particleWeighting=1)
+    print("== parity: scheme 1 (Vo empty-map)")
+    ok &= compare(*run_both(cfg1, *prob))
+
+    if not QUICK:
+        # dense-stress timing, honest sync
+        cfgd = load_config("cfg/ackerman_synth.cfg").replace(
+            n_particles=8192, maxFeatures=512, maxMeasurements=64,
+            clutterRate=40.0, gateBirths=True, gateThreshold=9.0)
+        probd = make_problem(jax.random.PRNGKey(1), cfgd, 8192, 512, 64)
+        f = jax.jit(U.phd_update_static, static_argnames=("cfg",))
+        r = f(*probd, cfgd)
+        _ = np.asarray(r.map_out.w)
+        t0 = time.time()
+        for _i in range(5):
+            r = f(*probd, cfgd)
+        _ = np.asarray(r.map_out.w)
+        t_pal = (time.time() - t0) / 5 * 1000
+        print(f"dense update, pallas path: {t_pal:.1f} ms")
+
+        real = jax.default_backend
+        jax.default_backend = lambda: "forced_xla"
+        try:
+            f2 = jax.jit(U.phd_update_static, static_argnames=("cfg",))
+            r = f2(*probd, cfgd)
+            _ = np.asarray(r.map_out.w)
+            t0 = time.time()
+            for _i in range(5):
+                r = f2(*probd, cfgd)
+            _ = np.asarray(r.map_out.w)
+            t_xla = (time.time() - t0) / 5 * 1000
+        finally:
+            jax.default_backend = real
+        print(f"dense update, XLA path:    {t_xla:.1f} ms")
+
+    print("PARITY", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

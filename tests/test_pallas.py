@@ -1,42 +1,116 @@
-"""Pallas kernel parity tests (run on TPU; skipped on CPU backends where
-Mosaic compilation is unavailable)."""
+"""Fused update/selection kernel parity tests.
+
+The kernel logic runs in Pallas interpret mode on CPU (every CI run); the
+compiled-Mosaic path is exercised by scripts/tpu_kernel_check.py on the real
+chip (also asserts the full phd_update_static outputs match between paths).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-requires_tpu = pytest.mark.skipif(
-    jax.default_backend() not in ("tpu", "axon"),
-    reason="Pallas TPU kernel needs a TPU backend")
 
-
-@requires_tpu
-def test_fused_sum_exp_matches_xla(tiny_cfg, rng):
+def _problem(tiny_cfg, rng, P=128, F=128, M=8):
     from phdslam_tpu.filter.state import Gaussian2DMixture
-    from phdslam_tpu.filter.update import kalman_preupdate
-    from phdslam_tpu.kernels.preupdate_pallas import (
-        fused_sum_exp, sum_exp_reference)
-    from phdslam_tpu.ops.linalg import safe_log
 
-    cfg = tiny_cfg.replace(n_particles=128, maxFeatures=128,
-                           maxMeasurements=8)
-    P, F, M = 128, 128, 8
+    cfg = tiny_cfg.replace(n_particles=P, maxFeatures=F, maxMeasurements=M,
+                           gateBirths=True, gateThreshold=9.0)
     w = (rng.uniform(size=(P, F)) < 0.4) * rng.uniform(0.1, 1.0, (P, F))
     mean = rng.uniform(-8, 8, (P, F, 2))
     cov = np.tile(np.eye(2, dtype=np.float32) * 0.2, (P, F, 1, 1))
     gm = Gaussian2DMixture.from_arrays(
         jnp.asarray(w, jnp.float32), jnp.asarray(mean, jnp.float32),
         jnp.asarray(cov))
-    pose = jnp.zeros((P, 6))
-    z_rb = jnp.asarray(rng.uniform(0.5, 9.0, (M, 2)), jnp.float32) \
-        .at[:, 1].set(jnp.asarray(rng.uniform(-1.0, 1.0, M), jnp.float32))
+    pose = jnp.asarray(rng.uniform(-1, 1, (P, 6)), jnp.float32)
+    z_rb = jnp.stack([
+        jnp.asarray(rng.uniform(0.5, 9.0, M), jnp.float32),
+        jnp.asarray(rng.uniform(-1.0, 1.0, M), jnp.float32)], axis=1)
     z_valid = jnp.ones((M,), bool)
+    return cfg, gm, pose, z_rb, z_valid
+
+
+def _xla_selection(cfg, gm, pose, z_rb, z_valid, k1):
+    """The XLA path's equivalents of the kernel outputs."""
+    from phdslam_tpu.filter.update import (detection_log_weights,
+                                           kalman_preupdate)
+    from phdslam_tpu.ops.linalg import safe_log, wrap_angle
 
     pre = kalman_preupdate(pose, gm, cfg)
-    ref = np.asarray(sum_exp_reference(z_rb, z_valid, pre, gm, cfg))
-    lpw = safe_log(pre.pd) + safe_log(gm.w)
-    got = np.asarray(fused_sum_exp(
-        z_rb, pre.r, pre.bearing, lpw, pre.si00, pre.si01, pre.si11,
-        pre.log_det_s))
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+    M = z_rb.shape[0]
+    z_label = jnp.zeros((M,), jnp.int32)
+    lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
+    sum_exp = jnp.sum(jnp.exp(lw), axis=-1)
+    g_single = lw - safe_log(pre.pd)[:, None, :] - safe_log(gm.w)[:, None, :]
+    dist = -2.0 * (g_single + 1.8378770664093453
+                   + 0.5 * pre.log_det_s[:, None, :])
+    compat = jnp.any((dist < cfg.gateThreshold)
+                     & (pre.rclass == 1)[:, None, :], axis=-1)
+    norm = sum_exp + cfg.clutterDensity + cfg.birthWeight
+    w_det = jnp.exp(lw) / norm[..., None]
+    w_det = jnp.where(w_det >= cfg.minFeatureWeight, w_det, 0.0)
+    w_sel, f_sel = jax.lax.top_k(w_det, k1)
+    P = pose.shape[0]
+    take = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+    ir = z_rb[None, :, None, 0] - take(pre.r)
+    ib = wrap_angle(z_rb[None, :, None, 1] - take(pre.bearing))
+    mx = take(gm.mx) + take(pre.g00) * ir + take(pre.g01) * ib
+    my = take(gm.my) + take(pre.g10) * ir + take(pre.g11) * ib
+    return pre, sum_exp, compat, w_sel, mx, my, take(pre.u00), take(pre.u11)
+
+
+@pytest.mark.parametrize("k1", [4, 8])
+def test_fused_update_select_interpret_matches_xla(tiny_cfg, rng, k1):
+    from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    pre, sum_ref, compat_ref, w_ref, mx_ref, my_ref, u00_ref, u11_ref = \
+        _xla_selection(cfg, gm, pose, z_rb, z_valid, k1)
+    (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel, lpw_sel,
+     compat) = fused_update_select(z_rb, pre, gm, cfg, k1=k1,
+                                   interpret=True)
+
+    np.testing.assert_allclose(np.asarray(sum_exp), np.asarray(sum_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(compat), np.asarray(compat_ref))
+    # selected weights are a set per (p, m); sort to ignore tie order
+    np.testing.assert_allclose(np.sort(np.asarray(w_sel), axis=-1),
+                               np.sort(np.asarray(w_ref), axis=-1),
+                               rtol=1e-4, atol=1e-7)
+    # weight-weighted moments match regardless of pick order
+    for got, ref in ((mx_sel, mx_ref), (my_sel, my_ref),
+                     (u00_sel, u00_ref), (u11_sel, u11_ref)):
+        np.testing.assert_allclose(
+            np.sum(np.asarray(w_sel) * np.asarray(got), axis=-1),
+            np.sum(np.asarray(w_ref) * np.asarray(ref), axis=-1),
+            rtol=2e-4, atol=1e-6)
+
+
+def test_full_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
+    """phd_update_static's kernel branch (forced, interpret mode) must match
+    its XLA branch bit-for-near on the same inputs."""
+    import phdslam_tpu.filter.update as U
+    import phdslam_tpu.kernels.preupdate_pallas as K
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    z_label = jnp.zeros((z_rb.shape[0],), jnp.int32)
+    res_xla = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
+
+    orig = K.fused_update_select
+    monkeypatch.setattr(
+        K, "fused_update_select",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    res_pal = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
+
+    np.testing.assert_allclose(np.asarray(res_pal.log_weight_delta),
+                               np.asarray(res_xla.log_weight_delta),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res_pal.map_out.w), axis=-1),
+        np.sort(np.asarray(res_xla.map_out.w), axis=-1),
+        rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_pal.map_out.w).sum(-1),
+                               np.asarray(res_xla.map_out.w).sum(-1),
+                               rtol=2e-4, atol=1e-5)
