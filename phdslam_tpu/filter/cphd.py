@@ -343,61 +343,44 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         in_mask,
         jnp.exp(safe_log(gm.w) + terms.scale_nondetect[:, None]), 0.0)
 
-    # prune + pool + merge (same machinery as the PHD path, no birth terms —
-    # CPHD births entered the map pre-update)
+    # prune + pool + merge. Same sectioned, gather-free layout as the PHD
+    # path (filter/update.py): [originals F | per-measurement top-k1
+    # detections M*k1]; the merge output IS the new map, so the pool top-k
+    # and the union top-k (plus their row gathers) disappear. Near/out-of-
+    # range features pass through the originals section with their prior
+    # weights (geometrically isolated from all update candidates, so they
+    # only ever co-cluster with each other). CPHD births entered the map
+    # pre-update (add_births), so there is no birth section.
     minw = cfg.minFeatureWeight
     w_nd_p = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
+    w_sec1 = jnp.where(in_mask, w_nd_p, gm.w)
+
+    k1 = min(8, F)
     w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
-
-    k1 = min(16, F)
-    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)
-    w_near = jnp.where(pre.rclass == 2, gm.w, 0.0)
-    w_pool = jnp.concatenate(
-        [w_near, w_nd_p, w_det_k.reshape(P, M * k1)], axis=-1)
-    K = min(cfg.merge_pool_size, w_pool.shape[-1])
-    top_w, top_idx = jax.lax.top_k(w_pool, K)
-
-    is_near = top_idx < F
-    is_nd = (top_idx >= F) & (top_idx < 2 * F)
-    is_det = top_idx >= 2 * F
-    f_near = jnp.clip(top_idx, 0, F - 1)
-    f_nd = jnp.clip(top_idx - F, 0, F - 1)
-    det_off = jnp.clip(top_idx - 2 * F, 0, M * k1 - 1)
-    m_det = det_off // k1
-    f_det = jnp.take_along_axis(f_det_k.reshape(P, M * k1), det_off, axis=1)
-    f_any = jnp.where(is_det, f_det,
-                      jnp.where(is_near, f_near, f_nd))
-
-    take_f = lambda arr: jnp.take_along_axis(arr, f_any, axis=1)
-    mx_f, my_f = take_f(gm.mx), take_f(gm.my)
-    c00_f, c01_f, c11_f = take_f(gm.c00), take_f(gm.c01), take_f(gm.c11)
-    g00, g01 = take_f(pre.g00), take_f(pre.g01)
-    g10, g11 = take_f(pre.g10), take_f(pre.g11)
-    u00, u01, u11 = take_f(pre.u00), take_f(pre.u01), take_f(pre.u11)
-    r_f, b_f = take_f(pre.r), take_f(pre.bearing)
+    w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
+    take_sel = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
     from phdslam_tpu.ops.linalg import wrap_angle
-    m_safe = jnp.clip(m_det, 0, M - 1)
-    innov_r = z_rb[:, 0][m_safe] - r_f
-    innov_b = wrap_angle(z_rb[:, 1][m_safe] - b_f)
-    cand_mx = jnp.where(is_det, mx_f + g00 * innov_r + g01 * innov_b, mx_f)
-    cand_my = jnp.where(is_det, my_f + g10 * innov_r + g11 * innov_b, my_f)
-    cand_00 = jnp.where(is_det, u00, c00_f)
-    cand_01 = jnp.where(is_det, u01, c01_f)
-    cand_11 = jnp.where(is_det, u11, c11_f)
-    cand_w = jnp.maximum(top_w, 0.0)
+    ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
+    ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
+    mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
+        + take_sel(pre.g01) * ib_sel
+    my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
+        + take_sel(pre.g11) * ib_sel
+
+    flat = lambda a: a.reshape(P, M * k1)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    cand_w = cat(w_sec1, flat(w_sel))
+    cand_mx = cat(gm.mx, flat(mx_sel))
+    cand_my = cat(gm.my, flat(my_sel))
+    cand_00 = cat(gm.c00, flat(take_sel(pre.u00)))
+    cand_01 = cat(gm.c01, flat(take_sel(pre.u01)))
+    cand_11 = cat(gm.c11, flat(take_sel(pre.u11)))
 
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
         cfg.minSeparation, F, metric=cfg.distanceMetric)
-
-    w_out_range = jnp.where(pre.rclass == 0, gm.w, 0.0)
-    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-    top_uw, u_idx = jax.lax.top_k(cat(mw, w_out_range), F)
-    take_u = lambda a, b: jnp.take_along_axis(cat(a, b), u_idx, axis=1)
-    map_out = Gaussian2DMixture(
-        w=top_uw,
-        mx=take_u(mmx, gm.mx), my=take_u(mmy, gm.my),
-        c00=take_u(m00, gm.c00), c01=take_u(m01, gm.c01),
-        c11=take_u(m11, gm.c11))
+    map_out = Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
+                                c11=m11)
 
     return map_out, terms.cn_update, terms.log_lik

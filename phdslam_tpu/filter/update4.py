@@ -390,7 +390,15 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
 
 def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
     """Static-map candidate pool + merge with externally supplied component
-    weights (shared by the mixed path)."""
+    weights (shared by the mixed path).
+
+    Sectioned, gather-free pool like filter/update.py:
+    [originals F | per-measurement top-k1 detections M*k1 | births M];
+    the merge output is directly the new map (no pool/union top-k).
+    Near/out-of-range features ride the originals section with their prior
+    weights — geometrically isolated from every update candidate, so they
+    only ever co-cluster with each other.
+    """
     from phdslam_tpu.filter.state import Gaussian2DMixture
     from phdslam_tpu.ops.gm import greedy_merge_channels
 
@@ -398,118 +406,86 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
     M = z_rb.shape[0]
     minw = cfg.minFeatureWeight
     w_nd_p = jnp.where(w_nd >= minw, w_nd, 0.0)
-    w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
+    w_sec1 = jnp.where(pre2.rclass == 1, w_nd_p, gm2.w)
 
-    k1 = min(16, F)
-    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)
-    w_near = jnp.where(pre2.rclass == 2, gm2.w, 0.0)
-    w_pool = jnp.concatenate(
-        [w_near, w_nd_p, w_det_k.reshape(P, M * k1), w_b_p], axis=-1)
-    K = min(cfg.merge_pool_size, w_pool.shape[-1])
-    top_w, top_idx = jax.lax.top_k(w_pool, K)
+    k1 = min(8, F)
+    w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
+    w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
+    take_sel = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+    ir = z_rb[None, :, None, 0] - take_sel(pre2.r)
+    ib = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre2.bearing))
+    mx_sel = take_sel(gm2.mx) + take_sel(pre2.g00) * ir \
+        + take_sel(pre2.g01) * ib
+    my_sel = take_sel(gm2.my) + take_sel(pre2.g10) * ir \
+        + take_sel(pre2.g11) * ib
 
-    is_near = top_idx < F
-    is_nd = (top_idx >= F) & (top_idx < 2 * F)
-    is_det = (top_idx >= 2 * F) & (top_idx < 2 * F + M * k1)
-    det_off = jnp.clip(top_idx - 2 * F, 0, M * k1 - 1)
-    m_det = det_off // k1
-    f_det = jnp.take_along_axis(f_det_k.reshape(P, M * k1), det_off, axis=1)
-    m_birth = jnp.clip(top_idx - 2 * F - M * k1, 0, M - 1)
-    f_orig = jnp.where(is_near, jnp.clip(top_idx, 0, F - 1),
-                       jnp.clip(top_idx - F, 0, F - 1))
-    f_any = jnp.where(is_det, f_det, f_orig)
-
-    take_f = lambda arr: jnp.take_along_axis(arr, f_any, axis=1)
-    m_safe = jnp.clip(m_det, 0, M - 1)
-    ir = z_rb[:, 0][m_safe] - take_f(pre2.r)
-    ib = wrap_angle(z_rb[:, 1][m_safe] - take_f(pre2.bearing))
-    mx_det = take_f(gm2.mx) + take_f(pre2.g00) * ir + take_f(pre2.g01) * ib
-    my_det = take_f(gm2.my) + take_f(pre2.g10) * ir + take_f(pre2.g11) * ib
-
-    z_r_b = z_rb[:, 0][m_birth]
-    theta_b = pose[:, None, 2] + z_rb[:, 1][m_birth]
+    theta_b = pose[:, None, 2] + z_rb[None, :, 1]
     ct, st = jnp.cos(theta_b), jnp.sin(theta_b)
-    bdx, bdy = z_r_b * ct, z_r_b * st
+    bdx = z_rb[None, :, 0] * ct
+    bdy = z_rb[None, :, 0] * st
     var_rb = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
     var_bb = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
 
-    is_orig = is_near | is_nd
-    pick3 = lambda o, d, b: jnp.where(is_orig, o, jnp.where(is_det, d, b))
-    cand_w = jnp.maximum(top_w, 0.0)
+    flat = lambda a: a.reshape(P, M * k1)
+    cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=-1)
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
-        cand_w,
-        pick3(take_f(gm2.mx), mx_det, pose[:, None, 0] + bdx),
-        pick3(take_f(gm2.my), my_det, pose[:, None, 1] + bdy),
-        pick3(take_f(gm2.c00), take_f(pre2.u00),
-              ct * ct * var_rb + bdy * bdy * var_bb),
-        pick3(take_f(gm2.c01), take_f(pre2.u01),
-              ct * st * var_rb - bdy * bdx * var_bb),
-        pick3(take_f(gm2.c11), take_f(pre2.u11),
-              st * st * var_rb + bdx * bdx * var_bb),
+        cat(w_sec1, flat(w_sel), w_b_p),
+        cat(gm2.mx, flat(mx_sel), pose[:, None, 0] + bdx),
+        cat(gm2.my, flat(my_sel), pose[:, None, 1] + bdy),
+        cat(gm2.c00, flat(take_sel(pre2.u00)),
+            ct * ct * var_rb + bdy * bdy * var_bb),
+        cat(gm2.c01, flat(take_sel(pre2.u01)),
+            ct * st * var_rb - bdy * bdx * var_bb),
+        cat(gm2.c11, flat(take_sel(pre2.u11)),
+            st * st * var_rb + bdx * bdx * var_bb),
         cfg.minSeparation, F, metric=cfg.distanceMetric)
-
-    w_out_range = jnp.where(pre2.rclass == 0, gm2.w, 0.0)
-    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-    top_uw, u_idx = jax.lax.top_k(cat(mw, w_out_range), F)
-    take_u = lambda a, b: jnp.take_along_axis(cat(a, b), u_idx, axis=1)
-    return Gaussian2DMixture(
-        w=top_uw, mx=take_u(mmx, gm2.mx), my=take_u(mmy, gm2.my),
-        c00=take_u(m00, gm2.c00), c01=take_u(m01, gm2.c01),
-        c11=take_u(m11, gm2.c11))
+    return Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
+                             c11=m11)
 
 
 def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
-    """Dynamic-map candidate pool + 4-D merge. NOTE: the reference kills
-    out-of-range dynamic features entirely after the update ('hack to kill
-    off out-of-range dynamic features', src/phdfilter.cu:3713-3719) — the
-    near/out partitions are dropped here accordingly."""
+    """Dynamic-map candidate pool + 4-D merge, sectioned layout
+    [non-detections F | detections M*k1 | births M]. NOTE: the reference
+    kills out-of-range dynamic features entirely after the update ('hack to
+    kill off out-of-range dynamic features', src/phdfilter.cu:3713-3719) —
+    only in-range non-detection terms enter the originals section."""
     P, F = gm4.w.shape
     M = z_rb.shape[0]
     minw = cfg.minFeatureWeight
-    w_nd_p = jnp.where(w_nd >= minw, w_nd, 0.0)
-    w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
+    w_sec1 = jnp.where(w_nd >= minw, w_nd, 0.0)
     w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
 
-    k1 = min(16, F)
-    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)
-    w_pool = jnp.concatenate(
-        [w_nd_p, w_det_k.reshape(P, M * k1), w_b_p], axis=-1)
-    K = min(cfg.merge_pool_size, w_pool.shape[-1])
-    top_w, top_idx = jax.lax.top_k(w_pool, K)
+    k1 = min(8, F)
+    w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
+    w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
+    take_sel = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+    take_selc = lambda a: jnp.take_along_axis(
+        a[:, :, None, :],
+        jnp.broadcast_to(f_sel[:, None], (P, a.shape[1], M, k1)), axis=3)
+    ir = z_rb[None, :, None, 0] - take_sel(pre4.r)
+    ib = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre4.bearing))
 
-    is_nd = top_idx < F
-    is_det = (top_idx >= F) & (top_idx < F + M * k1)
-    det_off = jnp.clip(top_idx - F, 0, M * k1 - 1)
-    m_det = det_off // k1
-    f_det = jnp.take_along_axis(f_det_k.reshape(P, M * k1), det_off, axis=1)
-    m_birth = jnp.clip(top_idx - F - M * k1, 0, M - 1)
-    f_any = jnp.where(is_det, f_det, jnp.clip(top_idx, 0, F - 1))
-
-    take_f = lambda arr: jnp.take_along_axis(arr, f_any, axis=1)  # [P,K]
-    take_c = lambda arr: jnp.take_along_axis(
-        arr, f_any[:, None, :], axis=2)                           # [P,C,K]
-    m_safe = jnp.clip(m_det, 0, M - 1)
-    ir = z_rb[:, 0][m_safe] - take_f(pre4.r)
-    ib = wrap_angle(z_rb[:, 1][m_safe] - take_f(pre4.bearing))
-
-    gk = take_c(pre4.gain)                                        # [P,8,K]
-    mean_f = take_c(gm4.mean_channels)                            # [P,4,K]
+    gk = take_selc(pre4.gain)                                   # [P,8,M,k1]
+    mean_f = take_selc(gm4.mean_channels)                       # [P,4,M,k1]
     mean_det = jnp.stack(
         [mean_f[:, i] + gk[:, 2 * i] * ir + gk[:, 2 * i + 1] * ib
          for i in range(4)], axis=1)
+    cov_det = take_selc(pre4.cov_update)                        # [P,10,M,k1]
 
-    zb = jnp.stack([z_rb[:, 0][m_birth], z_rb[:, 1][m_birth]], axis=-1)
-    bm, bc = birth4_channels(pose[:, None, :], zb, cfg)
-    mean_b = jnp.stack(bm, axis=1)                                # [P,4,K]
-    cov_b = jnp.stack(bc, axis=1)                                 # [P,10,K]
+    bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg)
+    mean_b = jnp.stack(bm, axis=1)                              # [P,4,M]
+    cov_b = jnp.stack(bc, axis=1)                               # [P,10,M]
 
-    sel_det = is_det[:, None, :]
-    cand_mean = jnp.where(is_nd[:, None, :], mean_f,
-                          jnp.where(sel_det, mean_det, mean_b))
-    cand_cov = jnp.where(is_nd[:, None, :], take_c(gm4.cov_channels),
-                         jnp.where(sel_det, take_c(pre4.cov_update), cov_b))
-    cand_w = jnp.maximum(top_w, 0.0)
+    flat = lambda a: a.reshape(P, M * k1)
+    flatc = lambda a: a.reshape(P, a.shape[1], M * k1)
+    cand_w = jnp.concatenate([w_sec1, flat(w_sel), w_b_p], axis=-1)
+    cand_mean = jnp.concatenate(
+        [gm4.mean_channels, flatc(mean_det), mean_b], axis=-1)
+    cand_cov = jnp.concatenate(
+        [gm4.cov_channels, flatc(cov_det), cov_b], axis=-1)
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
                                cfg.minSeparation, F)
     return Gaussian4DMixture(w=ow, mean_channels=om, cov_channels=oc)
