@@ -1,0 +1,135 @@
+"""Greedy Gaussian-mixture merge kernel (Pallas, TPU).
+
+VMEM-resident version of ops/gm.py:greedy_merge_channels (metric 0,
+Mahalanobis with averaged covariance — the reference's default
+distance, device_math.cuh:computeMahalDist). The XLA while_loop version
+re-reads/rewrites the [P, K] channel arrays from HBM every pick round
+(measured ~860 ms at the dense-stress pool of [8192, 1088] -> 512); here a
+[tile_p, K] block of all six channels stays in VMEM for the whole merge and
+HBM sees exactly one read of the candidates and one write of the result.
+
+Each grid step merges tile_p particles independently; inside, a bounded
+while loop performs one greedy pick per iteration:
+
+  pick   = row argmax of the remaining weights (iota/one-hot, no gathers)
+  sel    = candidates with Mahalanobis(pick, j) < min_separation
+  output = moment-matched merge of sel (same arithmetic as the XLA path)
+  w_rem  = weights of sel zeroed
+
+Output layout is [cap, tile_p] per channel (the written slot indexes the
+major axis — Mosaic forbids dynamic minor-dim stores); the caller
+transposes. Exact parity with the XLA path is tested in interpret mode
+(tests/test_pallas.py) and on-chip (scripts/tpu_kernel_check.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
+            ow_ref, omx_ref, omy_ref, o00_ref, o01_ref, o11_ref,
+            *, cap: int, min_separation: float):
+    tp, K = w_ref.shape
+    mx = mx_ref[:, :]
+    my = my_ref[:, :]
+    c00 = c00_ref[:, :]
+    c01 = c01_ref[:, :]
+    c11 = c11_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, K), 1)
+
+    # pre-fill: weight-0 empty slots with identity covariance (safe dets
+    # downstream), matching the XLA path's init
+    zeros_out = jnp.zeros((cap, tp), w_ref.dtype)
+    ones_out = jnp.ones((cap, tp), w_ref.dtype)
+    ow_ref[:, :] = zeros_out
+    omx_ref[:, :] = zeros_out
+    omy_ref[:, :] = zeros_out
+    o00_ref[:, :] = ones_out
+    o01_ref[:, :] = zeros_out
+    o11_ref[:, :] = ones_out
+
+    def body(carry):
+        i, w_rem = carry
+        mval = jnp.max(w_rem, axis=1)                        # [tp]
+        hit = w_rem == mval[:, None]
+        first = jnp.min(jnp.where(hit, iota, K), axis=1)
+        onehot = iota == first[:, None]
+        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
+        rmx = pick(mx)[:, None]
+        rmy = pick(my)[:, None]
+        a00 = 0.5 * (pick(c00)[:, None] + c00)
+        a01 = 0.5 * (pick(c01)[:, None] + c01)
+        a11 = 0.5 * (pick(c11)[:, None] + c11)
+        dx = rmx - mx
+        dy = rmy - my
+        det = a00 * a11 - a01 * a01
+        dist = (dx * dx * a11 - 2.0 * dx * dy * a01 + dy * dy * a00) / det
+        sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
+        sel = sel & (mval > 0.0)[:, None]
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw, axis=1)                           # [tp]
+        inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
+        mux = jnp.sum(sw * mx, axis=1) * inv
+        muy = jnp.sum(sw * my, axis=1) * inv
+        ddx = mux[:, None] - mx
+        ddy = muy[:, None] - my
+        n00 = jnp.sum(sw * (c00 + ddx * ddx), axis=1) * inv
+        n01 = jnp.sum(sw * (c01 + ddx * ddy), axis=1) * inv
+        n11 = jnp.sum(sw * (c11 + ddy * ddy), axis=1) * inv
+        ow_ref[i, :] = wsum
+        omx_ref[i, :] = mux
+        omy_ref[i, :] = muy
+        # empty rows keep the identity covariance of the pre-fill
+        o00_ref[i, :] = jnp.where(wsum > 0.0, n00, 1.0)
+        o01_ref[i, :] = n01
+        o11_ref[i, :] = jnp.where(wsum > 0.0, n11, 1.0)
+        return i + 1, jnp.where(sel, 0.0, w_rem)
+
+    def cond(carry):
+        i, w_rem = carry
+        return (i < cap) & jnp.any(w_rem > 0.0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), w_ref[:, :]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_separation", "max_out", "tile_p",
+                                    "interpret"))
+def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
+                        max_out: int, tile_p: int = 128,
+                        interpret: bool = False):
+    """Drop-in for ops.gm.greedy_merge_channels (metric 0 only).
+
+    w..c11: [P, K] candidate channels; returns six [P, max_out] channels.
+    Requires P % tile_p == 0 (callers gate on this plus the TPU backend).
+    """
+    P, K = w.shape
+    assert P % tile_p == 0, (P, tile_p)
+    dtype = w.dtype
+    chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, cap=max_out,
+                          min_separation=float(min_separation)),
+        grid=(P // tile_p,),
+        in_specs=[chan] * 6,
+        out_specs=(out,) * 6,
+        out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
+                        for _ in range(6)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * P * K * max_out,
+            bytes_accessed=(6 * P * K + 6 * P * max_out) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(w, mx, my, c00, c01, c11)
+    return tuple(jnp.transpose(o, (1, 0)) for o in outs)

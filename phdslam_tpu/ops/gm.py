@@ -148,6 +148,12 @@ def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
     carries fixed launch latency that dominates at small particle counts.
     """
     P, K = w.shape
+    if (metric == 0 and P % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")):
+        # VMEM-resident kernel: one HBM pass instead of one per pick round
+        from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+        return greedy_merge_pallas(w, mx, my, c00, c01, c11,
+                                   float(min_separation), max_out)
     dtype = w.dtype
     col = jnp.arange(K)
     B = 16

@@ -108,6 +108,10 @@ def compare(res_pal, res_xla):
 
 def main():
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("SKIP: compiled Pallas kernels need a TPU backend "
+              "(interpret-mode parity is covered by tests/test_pallas.py)")
+        sys.exit(0)
     cfg = load_config("cfg/ackerman_synth.cfg").replace(
         n_particles=256, maxFeatures=128, maxMeasurements=32,
         gateBirths=True, gateThreshold=9.0)
@@ -150,6 +154,60 @@ def main():
         finally:
             jax.default_backend = real
         print(f"dense update, XLA path:    {t_xla:.1f} ms")
+
+    # merge kernel: on-chip parity + timing at the dense pool shape
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+    from phdslam_tpu.ops import gm as G
+
+    kk = jax.random.split(jax.random.PRNGKey(2), 6)
+    P, K, F = (256, 320, 128) if QUICK else (8192, 1088, 512)
+    wm = jnp.where(jax.random.uniform(kk[0], (P, K)) < 0.6,
+                   jax.random.uniform(kk[1], (P, K), minval=0.01, maxval=2.0),
+                   0.0)
+    mxm = jax.random.uniform(kk[2], (P, K), minval=-20, maxval=20)
+    mym = jax.random.uniform(kk[3], (P, K), minval=-20, maxval=20)
+    c00m = jax.random.uniform(kk[4], (P, K), minval=0.05, maxval=1.5)
+    c11m = jax.random.uniform(kk[5], (P, K), minval=0.05, maxval=1.5)
+    c01m = 0.3 * jnp.sqrt(c00m * c11m)
+    margs = (wm, mxm, mym, c00m, c01m, c11m)
+
+    got = greedy_merge_pallas(*margs, 5.0, F)
+    got = [np.asarray(g) for g in got]
+    real = jax.default_backend
+    jax.default_backend = lambda: "forced_xla"
+    try:
+        ref = G.greedy_merge_channels(*margs, 5.0, F, metric=0)
+        ref = [np.asarray(r) for r in ref]
+    finally:
+        jax.default_backend = real
+    for name, g, r in zip(("w", "mx", "my", "c00", "c01", "c11"), got, ref):
+        d = np.max(np.abs(g - r))
+        print(f"  merge {name:4s} max|d|={d:.3e} "
+              f"{'OK' if d < 1e-3 else 'MISMATCH'}")
+        ok &= d < 1e-3
+
+    if not QUICK:
+        fj = greedy_merge_pallas  # already jitted with static shape args
+        _ = np.asarray(fj(*margs, 5.0, F)[0])
+        t0 = time.time()
+        for _i in range(5):
+            out = fj(*margs, 5.0, F)
+        _ = np.asarray(out[0])
+        print(f"merge pallas [{P},{K}]->{F}: "
+              f"{(time.time() - t0) / 5 * 1000:.1f} ms")
+        jax.default_backend = lambda: "forced_xla"
+        try:
+            fx = jax.jit(lambda *a: G.greedy_merge_channels(
+                *a, 5.0, F, metric=0))
+            _ = np.asarray(fx(*margs)[0])
+            t0 = time.time()
+            for _i in range(5):
+                out = fx(*margs)
+            _ = np.asarray(out[0])
+            print(f"merge XLA    [{P},{K}]->{F}: "
+                  f"{(time.time() - t0) / 5 * 1000:.1f} ms")
+        finally:
+            jax.default_backend = real
 
     print("PARITY", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

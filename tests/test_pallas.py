@@ -114,3 +114,25 @@ def test_full_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(res_pal.map_out.w).sum(-1),
                                np.asarray(res_xla.map_out.w).sum(-1),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_merge_pallas_interpret_matches_xla(tiny_cfg, rng):
+    """The VMEM merge kernel must reproduce greedy_merge_channels
+    (metric 0) exactly — same picks, same moment-matched outputs."""
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+    from phdslam_tpu.ops.gm import greedy_merge_channels
+
+    P, K, F = 128, 160, 64
+    w = (rng.uniform(size=(P, K)) < 0.6) * rng.uniform(0.01, 2.0, (P, K))
+    mx = rng.uniform(-20, 20, (P, K))
+    my = rng.uniform(-20, 20, (P, K))
+    c00 = rng.uniform(0.05, 1.5, (P, K))
+    c11 = rng.uniform(0.05, 1.5, (P, K))
+    c01 = 0.4 * np.sqrt(c00 * c11) * rng.uniform(-1, 1, (P, K))
+    args = [jnp.asarray(a, jnp.float32) for a in (w, mx, my, c00, c01, c11)]
+
+    ref = greedy_merge_channels(*args, 4.0, F, metric=0)
+    got = greedy_merge_pallas(*args, 4.0, F, interpret=True)
+    for name, g, r in zip(("w", "mx", "my", "c00", "c01", "c11"), got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
