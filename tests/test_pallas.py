@@ -97,10 +97,16 @@ def test_full_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
     z_label = jnp.zeros((z_rb.shape[0],), jnp.int32)
     res_xla = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
 
+    import phdslam_tpu.kernels.merge_pallas as MK
+
     orig = K.fused_update_select
     monkeypatch.setattr(
         K, "fused_update_select",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    orig_merge = MK.greedy_merge_pallas
+    monkeypatch.setattr(
+        MK, "greedy_merge_pallas",
+        lambda *a, **kw: orig_merge(*a, **{**kw, "interpret": True}))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     res_pal = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
 
