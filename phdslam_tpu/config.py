@@ -157,6 +157,10 @@ class SlamConfig:
     # truncation and use this padding for fixed shapes under jit.
     maxMeasurements: int = 64   # padded measurement slots (ref caps at 256)
     mergeCandidates: int = 0    # 0 -> auto: top-K pool for prune+merge
+    usePallas: bool = True      # allow the fused Pallas TPU kernels; set
+                                # False when running on a CPU mesh (virtual
+                                # multi-device tests) while a TPU plugin is
+                                # the process default backend
 
     # ---- derived ----
     clutterDensity: float = dataclasses.field(default=0.0)
@@ -246,6 +250,7 @@ _KEY_MAP = {
     # TPU-rebuild extensions
     "max_measurements": "maxMeasurements",
     "merge_candidates": "mergeCandidates",
+    "use_pallas": "usePallas",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(SlamConfig)}

@@ -379,7 +379,8 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
 
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
-        cfg.minSeparation, F, metric=cfg.distanceMetric)
+        cfg.minSeparation, F, metric=cfg.distanceMetric,
+        use_pallas=cfg.usePallas)
     map_out = Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
                                 c11=m11)
 

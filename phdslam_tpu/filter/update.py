@@ -214,7 +214,8 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
 
     pre = kalman_preupdate(pose, gm, cfg)
 
-    use_pallas = (jax.default_backend() in ("tpu", "axon")
+    use_pallas = (cfg.usePallas
+                  and jax.default_backend() in ("tpu", "axon")
                   and P % 128 == 0 and F % 128 == 0)
     if use_pallas:
         from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
@@ -352,7 +353,8 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     # the merged output IS the new padded map: no union/top-k compaction
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
-        cfg.minSeparation, F, metric=cfg.distanceMetric)
+        cfg.minSeparation, F, metric=cfg.distanceMetric,
+        use_pallas=cfg.usePallas)
     map_out = Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
                                 c11=m11)
 

@@ -440,7 +440,8 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
             ct * st * var_rb - bdy * bdx * var_bb),
         cat(gm2.c11, flat(take_sel(pre2.u11)),
             st * st * var_rb + bdx * bdx * var_bb),
-        cfg.minSeparation, F, metric=cfg.distanceMetric)
+        cfg.minSeparation, F, metric=cfg.distanceMetric,
+        use_pallas=cfg.usePallas)
     return Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
                              c11=m11)
 

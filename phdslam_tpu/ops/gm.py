@@ -126,7 +126,8 @@ def greedy_merge_batch(w, mean, cov, min_separation, max_out: int,
 
 
 def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
-                          max_out: int, metric: int = 0):
+                          max_out: int, metric: int = 0,
+                          use_pallas: bool = True):
     """Batched greedy merge in structure-of-arrays (channel-separated)
     layout.
 
@@ -148,7 +149,7 @@ def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
     carries fixed launch latency that dominates at small particle counts.
     """
     P, K = w.shape
-    if (metric == 0 and P % 128 == 0
+    if (use_pallas and metric == 0 and P % 128 == 0
             and jax.default_backend() in ("tpu", "axon")):
         # VMEM-resident kernel: one HBM pass instead of one per pick round
         from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas

@@ -130,7 +130,9 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
     assert cfg.nPredictParticles == 1, \
         "island mode requires n_predict_particles == 1"
     p_local = cfg.n_particles // n
-    cfg_local = cfg.replace(n_particles=p_local)
+    mesh_on_tpu = mesh.devices.flat[0].platform not in ("cpu",)
+    cfg_local = cfg.replace(n_particles=p_local,
+                            usePallas=cfg.usePallas and mesh_on_tpu)
     rounds = []
     s = 1
     while s < n:

@@ -168,6 +168,18 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                     ms_per_step=elapsed / t_len * 1000)
 
     # ---- loop mode ----
+    use_islands = getattr(args, "islands", 0) and args.islands > 1
+    if use_islands:
+        if cfg.filterType != 0:
+            raise SystemExit("--islands supports the PHD filter only "
+                             "(CPHD needs z_prev birth threading)")
+        from phdslam_tpu.parallel.island import (island_slam_step,
+                                                 make_island_mesh)
+        imesh = make_island_mesh(args.islands)
+        island_step, island_init = island_slam_step(imesh, cfg)
+        state, island_logw = island_init()
+        print(f"island mode: {args.islands} islands x "
+              f"{cfg.n_particles // args.islands} particles")
     poses_out = []
     z_prev = None
     start_t = 0
@@ -217,9 +229,19 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                 sk, state, ctrl, cfg, dt)
             _jax.block_until_ready(_pred.pose)
             logs.append_predict_time(out_dir, (time.time() - _pt0) * 1000)
-        state, aux = slam_step(state, sk, ctrl, z, dt,
-                               jnp.asarray(do_predict), cfg,
-                               z_prev=z_prev)
+        if use_islands:
+            from phdslam_tpu.filter.step import StepAux
+            state, island_logw, iaux = island_step(
+                state, island_logw, sk, jnp.stack(ctrl), z, dt,
+                jnp.asarray(do_predict))
+            aux = StepAux(expected_pose=iaux.expected_pose,
+                          neff=iaux.island_neff,
+                          resampled=iaux.exchanged,
+                          n_measure=z.count, log_lik=iaux.log_lik)
+        else:
+            state, aux = slam_step(state, sk, ctrl, z, dt,
+                                   jnp.asarray(do_predict), cfg,
+                                   z_prev=z_prev)
         z_prev = z
         jax.block_until_ready(state.log_weights)
         elapsed_ms = (time.time() - t0) * 1000
@@ -293,6 +315,10 @@ def main(argv=None):
     ap.add_argument("--predict-time", action="store_true",
                     help="additionally time the prediction alone each step "
                          "-> predicttime.log (src/phdfilter.cu:1244-1251)")
+    ap.add_argument("--islands", type=int, default=0,
+                    help="run distributed over N mesh devices with "
+                         "island-model (locality-preserving) resampling "
+                         "(parallel/island.py); loop mode, PHD filter only")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
