@@ -126,8 +126,7 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
             min_weight=float(cfg.minFeatureWeight),
             gate_threshold=float(cfg.gateThreshold)),
         grid=(P // tile_p,),
-        in_specs=[pl.BlockSpec((M, 2), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)] + [chan] * 16,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [chan] * 16,
         out_specs=(out_mp,) + (out_mkp,) * 7 + (out_mp,),
         out_shape=(
             jax.ShapeDtypeStruct((M, P), dtype),
