@@ -192,11 +192,17 @@ def birth4_channels(pose, z_rb, cfg):
     return mean, cov
 
 
-def greedy_merge4(w, mean, cov, min_separation, max_out: int):
+def greedy_merge4(w, mean, cov, min_separation, max_out: int,
+                  use_pallas: bool = True):
     """Channelized 4-D greedy merge. w [P,K]; mean [P,4,K]; cov [P,10,K].
     Returns (w_out [P,max_out], mean_out [P,4,max_out],
              cov_out [P,10,max_out])."""
     P, K = w.shape
+    if (use_pallas and P % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")):
+        from phdslam_tpu.kernels.merge_pallas import greedy_merge4_pallas
+        return greedy_merge4_pallas(w, mean, cov, float(min_separation),
+                                    max_out)
     dtype = w.dtype
     col = jnp.arange(K)
 
@@ -220,9 +226,13 @@ def greedy_merge4(w, mean, cov, min_separation, max_out: int):
         newc = []
         for a in range(4):
             for b_ in range(a, 4):
-                newc.append(jnp.sum(
+                nc = jnp.sum(
                     sw * (s4(cov, a, b_) + dd[:, a] * dd[:, b_]),
-                    axis=1) * inv)
+                    axis=1) * inv
+                if a == b_:
+                    # exhausted rows keep the identity-cov empty convention
+                    nc = jnp.where(wsum > 0, nc, 1.0)
+                newc.append(nc)
         newc = jnp.stack(newc, axis=1)                               # [P,10]
         ow = jax.lax.dynamic_update_index_in_dim(ow, wsum, i, 1)
         om = jax.lax.dynamic_update_index_in_dim(om, mu, i, 2)
@@ -488,5 +498,6 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     cand_cov = jnp.concatenate(
         [gm4.cov_channels, flatc(cov_det), cov_b], axis=-1)
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
-                               cfg.minSeparation, F)
+                               cfg.minSeparation, F,
+                               use_pallas=cfg.usePallas)
     return Gaussian4DMixture(w=ow, mean_channels=om, cov_channels=oc)

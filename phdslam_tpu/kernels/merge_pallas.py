@@ -133,3 +133,133 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
         interpret=interpret,
     )(w, mx, my, c00, c01, c11)
     return tuple(jnp.transpose(o, (1, 0)) for o in outs)
+
+
+def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
+             c0_ref, c1_ref, c2_ref, c3_ref, c4_ref, c5_ref, c6_ref,
+             c7_ref, c8_ref, c9_ref,
+             ow_ref, om0_ref, om1_ref, om2_ref, om3_ref,
+             oc0_ref, oc1_ref, oc2_ref, oc3_ref, oc4_ref, oc5_ref,
+             oc6_ref, oc7_ref, oc8_ref, oc9_ref,
+             *, cap: int, min_separation: float):
+    """4-D variant (dynamic maps): symmetric 4x4 covariances as 10 scalar
+    channels ordered (00,01,02,03,11,12,13,22,23,33); Mahalanobis via the
+    channelized Cholesky of filter/update4.py::chol4_solve_sq."""
+    tp, K = w_ref.shape
+    means = [m0_ref[:, :], m1_ref[:, :], m2_ref[:, :], m3_ref[:, :]]
+    covs = [c0_ref[:, :], c1_ref[:, :], c2_ref[:, :], c3_ref[:, :],
+            c4_ref[:, :], c5_ref[:, :], c6_ref[:, :], c7_ref[:, :],
+            c8_ref[:, :], c9_ref[:, :]]
+    m_out = [om0_ref, om1_ref, om2_ref, om3_ref]
+    c_out = [oc0_ref, oc1_ref, oc2_ref, oc3_ref, oc4_ref, oc5_ref,
+             oc6_ref, oc7_ref, oc8_ref, oc9_ref]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, K), 1)
+
+    zeros_out = jnp.zeros((cap, tp), w_ref.dtype)
+    ones_out = jnp.ones((cap, tp), w_ref.dtype)
+    ow_ref[:, :] = zeros_out
+    for o in m_out:
+        o[:, :] = zeros_out
+    # identity pre-fill: diagonal channels (00,11,22,33) = idx 0,4,7,9
+    for idx, o in enumerate(c_out):
+        o[:, :] = ones_out if idx in (0, 4, 7, 9) else zeros_out
+
+    # channel index of symmetric (i, j), i<=j, in the 10-channel order
+    S = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3, (1, 1): 4,
+         (1, 2): 5, (1, 3): 6, (2, 2): 7, (2, 3): 8, (3, 3): 9}
+
+    def body(carry):
+        i, w_rem = carry
+        mval = jnp.max(w_rem, axis=1)
+        hit = w_rem == mval[:, None]
+        first = jnp.min(jnp.where(hit, iota, K), axis=1)
+        onehot = iota == first[:, None]
+        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
+        a = [0.5 * (pick(c)[:, None] + c) for c in covs]     # avg cov
+        d = [pick(m)[:, None] - m for m in means]
+        s = lambda ii, jj: a[S[(min(ii, jj), max(ii, jj))]]
+        eps = 1e-12
+        l00 = jnp.sqrt(jnp.maximum(s(0, 0), eps))
+        l10 = s(0, 1) / l00
+        l20 = s(0, 2) / l00
+        l30 = s(0, 3) / l00
+        l11 = jnp.sqrt(jnp.maximum(s(1, 1) - l10 * l10, eps))
+        l21 = (s(1, 2) - l20 * l10) / l11
+        l31 = (s(1, 3) - l30 * l10) / l11
+        l22 = jnp.sqrt(jnp.maximum(s(2, 2) - l20 * l20 - l21 * l21, eps))
+        l32 = (s(2, 3) - l30 * l20 - l31 * l21) / l22
+        l33 = jnp.sqrt(jnp.maximum(
+            s(3, 3) - l30 * l30 - l31 * l31 - l32 * l32, eps))
+        y0 = d[0] / l00
+        y1 = (d[1] - l10 * y0) / l11
+        y2 = (d[2] - l20 * y0 - l21 * y1) / l22
+        y3 = (d[3] - l30 * y0 - l31 * y1 - l32 * y2) / l33
+        dist = y0 * y0 + y1 * y1 + y2 * y2 + y3 * y3
+        sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
+        sel = sel & (mval > 0.0)[:, None]
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw, axis=1)
+        inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
+        mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
+        dd = [mu[k][:, None] - means[k] for k in range(4)]
+        ow_ref[i, :] = wsum
+        for k in range(4):
+            m_out[k][i, :] = mu[k]
+        ci = 0
+        for aa in range(4):
+            for bb in range(aa, 4):
+                nc = jnp.sum(sw * (covs[ci] + dd[aa] * dd[bb]),
+                             axis=1) * inv
+                if aa == bb:
+                    nc = jnp.where(wsum > 0.0, nc, 1.0)
+                c_out[ci][i, :] = nc
+                ci += 1
+        return i + 1, jnp.where(sel, 0.0, w_rem)
+
+    def cond(carry):
+        i, w_rem = carry
+        return (i < cap) & jnp.any(w_rem > 0.0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), w_ref[:, :]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_separation", "max_out", "tile_p",
+                                    "interpret"))
+def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
+                         max_out: int, tile_p: int = 128,
+                         interpret: bool = False):
+    """Drop-in for filter.update4.greedy_merge4.
+
+    w [P, K]; mean_channels [P, 4, K]; cov_channels [P, 10, K].
+    Returns (w_out [P, max_out], mean_out [P, 4, max_out],
+             cov_out [P, 10, max_out]).
+    """
+    P, K = w.shape
+    assert P % tile_p == 0, (P, tile_p)
+    dtype = w.dtype
+    chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    ins = ([w] + [mean_channels[:, k, :] for k in range(4)]
+           + [cov_channels[:, k, :] for k in range(10)])
+    outs = pl.pallas_call(
+        functools.partial(_kernel4, cap=max_out,
+                          min_separation=float(min_separation)),
+        grid=(P // tile_p,),
+        in_specs=[chan] * 15,
+        out_specs=(out,) * 15,
+        out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
+                        for _ in range(15)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(40e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * P * K * max_out,
+            bytes_accessed=(15 * P * K + 15 * P * max_out) * 4,
+            transcendentals=4 * P * K * max_out),
+        interpret=interpret,
+    )(*ins)
+    outs = [jnp.transpose(o, (1, 0)) for o in outs]
+    return (outs[0], jnp.stack(outs[1:5], axis=1),
+            jnp.stack(outs[5:15], axis=1))

@@ -198,6 +198,9 @@ def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
         n00 = jnp.sum(sw * (c00 + ddx * ddx), axis=1) * inv
         n01 = jnp.sum(sw * (c01 + ddx * ddy), axis=1) * inv
         n11 = jnp.sum(sw * (c11 + ddy * ddy), axis=1) * inv
+        # exhausted rows keep the identity-cov empty convention
+        n00 = jnp.where(wsum > 0, n00, 1.0)
+        n11 = jnp.where(wsum > 0, n11, 1.0)
         out_block.append((wsum, mux, muy, n00, n01, n11))
         return jnp.where(sel, 0.0, w_rem)
 
@@ -355,6 +358,9 @@ def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
             jnp.sum(sw * (c12 + dd[1] * dd[2]), axis=1) * inv,
             jnp.sum(sw * (c22 + dd[2] * dd[2]), axis=1) * inv,
         ]
+        # exhausted rows keep the identity-cov empty convention
+        for _di in (0, 3, 5):
+            n_c[_di] = jnp.where(wsum > 0, n_c[_di], 1.0)
         ow = jax.lax.dynamic_update_index_in_dim(ow, wsum, i, 1)
         o_m = tuple(
             jax.lax.dynamic_update_index_in_dim(o_m[k], mu[k], i, 1)

@@ -142,3 +142,30 @@ def test_merge_pallas_interpret_matches_xla(tiny_cfg, rng):
     for name, g, r in zip(("w", "mx", "my", "c00", "c01", "c11"), got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_merge4_pallas_interpret_matches_xla(rng):
+    """The 4-D VMEM merge kernel vs filter.update4.greedy_merge4."""
+    from phdslam_tpu.filter.update4 import greedy_merge4
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge4_pallas
+
+    P, K, F = 128, 96, 48
+    w = (rng.uniform(size=(P, K)) < 0.6) * rng.uniform(0.01, 2.0, (P, K))
+    mean = rng.uniform(-15, 15, (P, 4, K))
+    # SPD covariances: diag-dominant random symmetric channels
+    diag = rng.uniform(0.2, 1.5, (P, 4, K))
+    off = 0.1 * rng.uniform(-1, 1, (P, 6, K))
+    cov = np.stack([diag[:, 0], off[:, 0], off[:, 1], off[:, 2],
+                    diag[:, 1], off[:, 3], off[:, 4],
+                    diag[:, 2], off[:, 5], diag[:, 3]], axis=1)
+    args = (jnp.asarray(w, jnp.float32), jnp.asarray(mean, jnp.float32),
+            jnp.asarray(cov, jnp.float32))
+
+    rw, rm, rc = greedy_merge4(*args, 4.0, F, use_pallas=False)
+    gw, gm_, gc = greedy_merge4_pallas(*args, 4.0, F, interpret=True)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gm_), np.asarray(rm),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
+                               rtol=1e-4, atol=1e-5)
