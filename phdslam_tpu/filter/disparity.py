@@ -296,7 +296,7 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
      mc22) = greedy_merge_channels3(
         cand_w, cand["m0"], cand["m1"], cand["m2"], cand["c00"],
         cand["c01"], cand["c02"], cand["c11"], cand["c12"], cand["c22"],
-        cfg.minSeparation, F)
+        cfg.minSeparation, F, use_pallas=cfg.usePallas)
 
     # ---- 8. sample merged Gaussians back to particle clouds -------------
     su, sv, sd = sample_gaussians(

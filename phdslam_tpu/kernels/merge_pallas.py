@@ -263,3 +263,107 @@ def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
     outs = [jnp.transpose(o, (1, 0)) for o in outs]
     return (outs[0], jnp.stack(outs[1:5], axis=1),
             jnp.stack(outs[5:15], axis=1))
+
+
+def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
+             c00_ref, c01_ref, c02_ref, c11_ref, c12_ref, c22_ref,
+             ow_ref, om0_ref, om1_ref, om2_ref,
+             o00_ref, o01_ref, o02_ref, o11_ref, o12_ref, o22_ref,
+             *, cap: int, min_separation: float):
+    """3-D variant (disparity-space Gaussians): Mahalanobis via the
+    closed-form 3x3 adjugate/determinant (device_math.cuh:331-345)."""
+    tp, K = w_ref.shape
+    means = [m0_ref[:, :], m1_ref[:, :], m2_ref[:, :]]
+    covs = [c00_ref[:, :], c01_ref[:, :], c02_ref[:, :],
+            c11_ref[:, :], c12_ref[:, :], c22_ref[:, :]]
+    m_out = [om0_ref, om1_ref, om2_ref]
+    c_out = [o00_ref, o01_ref, o02_ref, o11_ref, o12_ref, o22_ref]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, K), 1)
+
+    zeros_out = jnp.zeros((cap, tp), w_ref.dtype)
+    ones_out = jnp.ones((cap, tp), w_ref.dtype)
+    ow_ref[:, :] = zeros_out
+    for o in m_out:
+        o[:, :] = zeros_out
+    for idx, o in enumerate(c_out):       # diag channels: 00, 11, 22
+        o[:, :] = ones_out if idx in (0, 3, 5) else zeros_out
+
+    def body(carry):
+        i, w_rem = carry
+        mval = jnp.max(w_rem, axis=1)
+        hit = w_rem == mval[:, None]
+        first = jnp.min(jnp.where(hit, iota, K), axis=1)
+        onehot = iota == first[:, None]
+        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
+        a00, a01, a02, a11, a12, a22 = (
+            0.5 * (pick(c)[:, None] + c) for c in covs)
+        d0, d1, d2 = (pick(m)[:, None] - m for m in means)
+        det = (a00 * (a11 * a22 - a12 * a12)
+               - a01 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * a12 - a11 * a02))
+        i00 = a11 * a22 - a12 * a12
+        i01 = a02 * a12 - a01 * a22
+        i02 = a01 * a12 - a02 * a11
+        i11 = a00 * a22 - a02 * a02
+        i12 = a02 * a01 - a00 * a12
+        i22 = a00 * a11 - a01 * a01
+        dist = (d0 * d0 * i00 + d1 * d1 * i11 + d2 * d2 * i22
+                + 2.0 * (d0 * d1 * i01 + d0 * d2 * i02 + d1 * d2 * i12)
+                ) / det
+        sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
+        sel = sel & (mval > 0.0)[:, None]
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw, axis=1)
+        inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
+        mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
+        dd = [mu[k][:, None] - means[k] for k in range(3)]
+        ow_ref[i, :] = wsum
+        for k in range(3):
+            m_out[k][i, :] = mu[k]
+        pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        for ci, (aa, bb) in enumerate(pairs):
+            nc = jnp.sum(sw * (covs[ci] + dd[aa] * dd[bb]), axis=1) * inv
+            if aa == bb:
+                nc = jnp.where(wsum > 0.0, nc, 1.0)
+            c_out[ci][i, :] = nc
+        return i + 1, jnp.where(sel, 0.0, w_rem)
+
+    def cond(carry):
+        i, w_rem = carry
+        return (i < cap) & jnp.any(w_rem > 0.0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), w_ref[:, :]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_separation", "max_out", "tile_p",
+                                    "interpret"))
+def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
+                         min_separation, max_out: int, tile_p: int = 128,
+                         interpret: bool = False):
+    """Drop-in for ops.gm.greedy_merge_channels3. Ten [P, K] channels in,
+    ten [P, max_out] channels out (w, m0..m2, c00,c01,c02,c11,c12,c22)."""
+    P, K = w.shape
+    assert P % tile_p == 0, (P, tile_p)
+    dtype = w.dtype
+    chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel3, cap=max_out,
+                          min_separation=float(min_separation)),
+        grid=(P // tile_p,),
+        in_specs=[chan] * 10,
+        out_specs=(out,) * 10,
+        out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
+                        for _ in range(10)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(30e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * P * K * max_out,
+            bytes_accessed=(10 * P * K + 10 * P * max_out) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(w, m0, m1, m2, c00, c01, c02, c11, c12, c22)
+    return tuple(jnp.transpose(o, (1, 0)) for o in outs)

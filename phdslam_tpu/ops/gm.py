@@ -299,7 +299,8 @@ def eval_mixture(w, mean, cov, x):
 
 
 def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
-                           min_separation, max_out: int):
+                           min_separation, max_out: int,
+                           use_pallas: bool = True):
     """3-D channelized greedy merge (the disparity-space analog of
     ``greedy_merge_channels``; reference merges 3-D disparity Gaussians with
     the same phdUpdateMergeKernel via the Gaussian3D overloads,
@@ -309,6 +310,12 @@ def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
     Returns channel outputs, each [P, max_out].
     """
     P, K = w.shape
+    if (use_pallas and P % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")):
+        from phdslam_tpu.kernels.merge_pallas import greedy_merge3_pallas
+        return greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11,
+                                    c12, c22, float(min_separation),
+                                    max_out)
     dtype = w.dtype
     col = jnp.arange(K)
     means = (m0, m1, m2)

@@ -169,3 +169,27 @@ def test_merge4_pallas_interpret_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_merge3_pallas_interpret_matches_xla(rng):
+    """The 3-D VMEM merge kernel vs ops.gm.greedy_merge_channels3."""
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge3_pallas
+    from phdslam_tpu.ops.gm import greedy_merge_channels3
+
+    P, K, F = 128, 96, 48
+    w = (rng.uniform(size=(P, K)) < 0.6) * rng.uniform(0.01, 2.0, (P, K))
+    m = [rng.uniform(-200, 200, (P, K)) for _ in range(3)]
+    c00 = rng.uniform(0.5, 5.0, (P, K))
+    c11 = rng.uniform(0.5, 5.0, (P, K))
+    c22 = rng.uniform(0.5, 5.0, (P, K))
+    c01 = 0.1 * rng.uniform(-1, 1, (P, K))
+    c02 = 0.1 * rng.uniform(-1, 1, (P, K))
+    c12 = 0.1 * rng.uniform(-1, 1, (P, K))
+    args = [jnp.asarray(a, jnp.float32)
+            for a in (w, *m, c00, c01, c02, c11, c12, c22)]
+
+    ref = greedy_merge_channels3(*args, 9.0, F, use_pallas=False)
+    got = greedy_merge3_pallas(*args, 9.0, F, interpret=True)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(i))
