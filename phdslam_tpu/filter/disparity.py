@@ -250,47 +250,41 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_birth_p = jnp.where(w_birth >= minw, w_birth, 0.0)
 
+    # Sectioned, gather-free merge candidates (same layout as the static
+    # path, filter/update.py): [non-detections F | per-measurement top-k1
+    # detections M*k1 | births M]; no pool-wide top-k, no row gathers. The
+    # merge output (cap F) is the in-FOV content; out-of-FOV clouds union in
+    # afterwards (they keep their particle clouds, so they cannot ride the
+    # merge).
     k1 = min(8, F)
-    w_det_k, f_det_k = jax.lax.top_k(w_det_p, k1)               # [P,M,k1]
-    w_pool = jnp.concatenate(
-        [w_nd_p, w_det_k.reshape(P, M * k1), w_birth_p], axis=-1)
-    K = min(cfg.merge_pool_size, w_pool.shape[-1])
-    top_w, top_idx = jax.lax.top_k(w_pool, K)
+    w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
+    take_sel = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+    iu_k = z_uv[None, :, None, 0] - take_sel(m0)
+    iv_k = z_uv[None, :, None, 1] - take_sel(m1)
+    det_m0 = take_sel(m0) + take_sel(k00) * iu_k + take_sel(k01) * iv_k
+    det_m1 = take_sel(m1) + take_sel(k10) * iu_k + take_sel(k11) * iv_k
+    det_m2 = take_sel(m2) + take_sel(k20) * iu_k + take_sel(k21) * iv_k
 
-    is_nd = top_idx < F
-    is_det = (top_idx >= F) & (top_idx < F + M * k1)
-    det_off = jnp.clip(top_idx - F, 0, M * k1 - 1)
-    m_det = det_off // k1
-    f_det = jnp.take_along_axis(f_det_k.reshape(P, M * k1), det_off, axis=1)
-    m_birth = jnp.clip(top_idx - F - M * k1, 0, M - 1)
-    f_any = jnp.where(is_det, f_det, jnp.clip(top_idx, 0, F - 1))
-
-    take_f = lambda a: jnp.take_along_axis(a, f_any, axis=1)
-    m_safe = jnp.clip(m_det, 0, M - 1)
-    iu_k = z_uv[:, 0][m_safe] - take_f(m0)
-    iv_k = z_uv[:, 1][m_safe] - take_f(m1)
-    det_m0 = take_f(m0) + take_f(k00) * iu_k + take_f(k01) * iv_k
-    det_m1 = take_f(m1) + take_f(k10) * iu_k + take_f(k11) * iv_k
-    det_m2 = take_f(m2) + take_f(k20) * iu_k + take_f(k21) * iv_k
-
-    zu_b = z_uv[:, 0][m_birth]
-    zv_b = z_uv[:, 1][m_birth]
-    pick3 = lambda nd, det, b: jnp.where(is_nd, nd,
-                                         jnp.where(is_det, det, b))
+    zu_b = z_uv[None, :, 0] * jnp.ones((P, 1), dtype)
+    zv_b = z_uv[None, :, 1] * jnp.ones((P, 1), dtype)
+    flat = lambda a: a.reshape(P, M * k1)
+    cat3 = lambda a, b, c: jnp.concatenate([a, b, c], axis=-1)
+    cand_w = cat3(w_nd_p, flat(jnp.where(w_sel >= minw, w_sel, 0.0)),
+                  w_birth_p)
     cand = dict(
-        m0=pick3(take_f(m0), det_m0, zu_b),
-        m1=pick3(take_f(m1), det_m1, zv_b),
-        m2=pick3(take_f(m2), det_m2,
-                 jnp.full_like(zu_b, cfg.disparityBirth)),
-        c00=pick3(take_f(c00), take_f(u00), jnp.full_like(zu_b, var_u)),
-        c01=pick3(take_f(c01), take_f(u01), jnp.zeros_like(zu_b)),
-        c02=pick3(take_f(c02), take_f(u02), jnp.zeros_like(zu_b)),
-        c11=pick3(take_f(c11), take_f(u11), jnp.full_like(zu_b, var_v)),
-        c12=pick3(take_f(c12), take_f(u12), jnp.zeros_like(zu_b)),
-        c22=pick3(take_f(c22), take_f(u22),
-                  jnp.full_like(zu_b, cfg.stdDBirth ** 2)),
+        m0=cat3(m0, flat(det_m0), zu_b),
+        m1=cat3(m1, flat(det_m1), zv_b),
+        m2=cat3(m2, flat(det_m2),
+                jnp.full_like(zu_b, cfg.disparityBirth)),
+        c00=cat3(c00, flat(take_sel(u00)), jnp.full_like(zu_b, var_u)),
+        c01=cat3(c01, flat(take_sel(u01)), jnp.zeros_like(zu_b)),
+        c02=cat3(c02, flat(take_sel(u02)), jnp.zeros_like(zu_b)),
+        c11=cat3(c11, flat(take_sel(u11)), jnp.full_like(zu_b, var_v)),
+        c12=cat3(c12, flat(take_sel(u12)), jnp.zeros_like(zu_b)),
+        c22=cat3(c22, flat(take_sel(u22)),
+                 jnp.full_like(zu_b, cfg.stdDBirth ** 2)),
     )
-    cand_w = jnp.maximum(top_w, 0.0)
 
     (mw, mm0, mm1, mm2, mc00, mc01, mc02, mc11, mc12,
      mc22) = greedy_merge_channels3(
