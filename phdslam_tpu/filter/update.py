@@ -215,8 +215,7 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     pre = kalman_preupdate(pose, gm, cfg)
 
     use_pallas = (cfg.usePallas
-                  and jax.default_backend() in ("tpu", "axon")
-                  and P % 128 == 0 and F % 128 == 0)
+                  and jax.default_backend() in ("tpu", "axon"))
     if use_pallas:
         from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
         (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,

@@ -198,8 +198,7 @@ def greedy_merge4(w, mean, cov, min_separation, max_out: int,
     Returns (w_out [P,max_out], mean_out [P,4,max_out],
              cov_out [P,10,max_out])."""
     P, K = w.shape
-    if (use_pallas and P % 128 == 0
-            and jax.default_backend() in ("tpu", "axon")):
+    if use_pallas and jax.default_backend() in ("tpu", "axon"):
         from phdslam_tpu.kernels.merge_pallas import greedy_merge4_pallas
         return greedy_merge4_pallas(w, mean, cov, float(min_separation),
                                     max_out)

@@ -32,6 +32,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+
+def _pad_rows(arrs, tile_p):
+    """Pad the leading (particle) axis of each [P, ...] array to a multiple
+    of tile_p with zeros. Zero-weight rows merge trivially (the in-kernel
+    while loop never activates them), so padding is semantically free."""
+    P = arrs[0].shape[0]
+    pad = (-P) % tile_p
+    if pad == 0:
+        return arrs, P
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrs], P
+
+
 def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
             ow_ref, omx_ref, omy_ref, o00_ref, o01_ref, o11_ref,
             *, cap: int, min_separation: float):
@@ -109,8 +123,9 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
     w..c11: [P, K] candidate channels; returns six [P, max_out] channels.
     Requires P % tile_p == 0 (callers gate on this plus the TPU backend).
     """
+    (w, mx, my, c00, c01, c11), P0 = _pad_rows(
+        [w, mx, my, c00, c01, c11], tile_p)
     P, K = w.shape
-    assert P % tile_p == 0, (P, tile_p)
     dtype = w.dtype
     chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -132,7 +147,7 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
             transcendentals=0),
         interpret=interpret,
     )(w, mx, my, c00, c01, c11)
-    return tuple(jnp.transpose(o, (1, 0)) for o in outs)
+    return tuple(jnp.transpose(o, (1, 0))[:P0] for o in outs)
 
 
 def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
@@ -235,15 +250,15 @@ def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
     Returns (w_out [P, max_out], mean_out [P, 4, max_out],
              cov_out [P, 10, max_out]).
     """
-    P, K = w.shape
-    assert P % tile_p == 0, (P, tile_p)
+    ins = ([w] + [mean_channels[:, k, :] for k in range(4)]
+           + [cov_channels[:, k, :] for k in range(10)])
+    ins, P0 = _pad_rows(ins, tile_p)
+    P, K = ins[0].shape
     dtype = w.dtype
     chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
-    ins = ([w] + [mean_channels[:, k, :] for k in range(4)]
-           + [cov_channels[:, k, :] for k in range(10)])
     outs = pl.pallas_call(
         functools.partial(_kernel4, cap=max_out,
                           min_separation=float(min_separation)),
@@ -260,7 +275,7 @@ def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
             transcendentals=4 * P * K * max_out),
         interpret=interpret,
     )(*ins)
-    outs = [jnp.transpose(o, (1, 0)) for o in outs]
+    outs = [jnp.transpose(o, (1, 0))[:P0] for o in outs]
     return (outs[0], jnp.stack(outs[1:5], axis=1),
             jnp.stack(outs[5:15], axis=1))
 
@@ -343,8 +358,10 @@ def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
                          interpret: bool = False):
     """Drop-in for ops.gm.greedy_merge_channels3. Ten [P, K] channels in,
     ten [P, max_out] channels out (w, m0..m2, c00,c01,c02,c11,c12,c22)."""
+    ins, P0 = _pad_rows([w, m0, m1, m2, c00, c01, c02, c11, c12, c22],
+                        tile_p)
+    (w, m0, m1, m2, c00, c01, c02, c11, c12, c22) = ins
     P, K = w.shape
-    assert P % tile_p == 0, (P, tile_p)
     dtype = w.dtype
     chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -366,4 +383,4 @@ def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
             transcendentals=0),
         interpret=interpret,
     )(w, m0, m1, m2, c00, c01, c02, c11, c12, c22)
-    return tuple(jnp.transpose(o, (1, 0)) for o in outs)
+    return tuple(jnp.transpose(o, (1, 0))[:P0] for o in outs)

@@ -107,10 +107,21 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
     """
     from phdslam_tpu.ops.linalg import safe_log
 
-    P, F = pre.r.shape
+    P0, F = pre.r.shape
     M = z_rb.shape[0]
-    assert P % tile_p == 0, (P, tile_p)
     lpw = jnp.maximum(safe_log(pre.pd) + safe_log(gm.w), NEG_LARGE)
+    chans = [pre.r, pre.bearing, lpw, pre.si00, pre.si01, pre.si11,
+             pre.log_det_s, gm.mx, gm.my, pre.g00, pre.g01, pre.g10,
+             pre.g11, pre.u00, pre.u01, pre.u11]
+    pad = (-P0) % tile_p
+    if pad:
+        # padded rows: benign geometry with lpw = NEG_LARGE -> zero
+        # contributions everywhere (exp underflows, weights prune to 0)
+        chans = [jnp.pad(c, ((0, pad), (0, 0)),
+                         constant_values=NEG_LARGE if i == 2 else
+                         (1.0 if i in (3, 5) else 0.0))
+                 for i, c in enumerate(chans)]
+    P = P0 + pad
 
     chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -140,12 +151,10 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
             bytes_accessed=(16 * P * F + 8 * P * M * k1) * 4,
             transcendentals=P * M * F),
         interpret=interpret,
-    )(z_rb, pre.r, pre.bearing, lpw, pre.si00, pre.si01, pre.si11,
-      pre.log_det_s, gm.mx, gm.my, pre.g00, pre.g01, pre.g10, pre.g11,
-      pre.u00, pre.u01, pre.u11)
-    sum_exp = jnp.transpose(outs[0], (1, 0))               # [P, M]
-    sel = [jnp.transpose(o, (2, 0, 1)) for o in outs[1:8]]  # [P, M, k1]
-    compat = jnp.transpose(outs[8], (1, 0)) > 0.5          # [P, M]
+    )(z_rb, *chans)
+    sum_exp = jnp.transpose(outs[0], (1, 0))[:P0]           # [P, M]
+    sel = [jnp.transpose(o, (2, 0, 1))[:P0] for o in outs[1:8]]
+    compat = jnp.transpose(outs[8], (1, 0))[:P0] > 0.5      # [P, M]
     return (sum_exp,) + tuple(sel) + (compat,)
 
 

@@ -149,7 +149,7 @@ def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
     carries fixed launch latency that dominates at small particle counts.
     """
     P, K = w.shape
-    if (use_pallas and metric == 0 and P % 128 == 0
+    if (use_pallas and metric == 0
             and jax.default_backend() in ("tpu", "axon")):
         # VMEM-resident kernel: one HBM pass instead of one per pick round
         from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
@@ -310,8 +310,7 @@ def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
     Returns channel outputs, each [P, max_out].
     """
     P, K = w.shape
-    if (use_pallas and P % 128 == 0
-            and jax.default_backend() in ("tpu", "axon")):
+    if use_pallas and jax.default_backend() in ("tpu", "axon"):
         from phdslam_tpu.kernels.merge_pallas import greedy_merge3_pallas
         return greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11,
                                     c12, c22, float(min_separation),

@@ -193,3 +193,42 @@ def test_merge3_pallas_interpret_matches_xla(rng):
     for i, (g, r) in enumerate(zip(got, ref)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4, err_msg=str(i))
+
+
+def test_merge_pallas_pads_odd_particle_counts(rng):
+    """P not a multiple of the tile: the wrapper pads with zero-weight rows
+    and slices back — results must be unchanged."""
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+    from phdslam_tpu.ops.gm import greedy_merge_channels
+
+    P, K, F = 200, 96, 48      # reference's shipped particle count
+    w = (rng.uniform(size=(P, K)) < 0.6) * rng.uniform(0.01, 2.0, (P, K))
+    mx = rng.uniform(-20, 20, (P, K))
+    my = rng.uniform(-20, 20, (P, K))
+    c00 = rng.uniform(0.05, 1.5, (P, K))
+    c11 = rng.uniform(0.05, 1.5, (P, K))
+    c01 = 0.2 * np.sqrt(c00 * c11)
+    args = [jnp.asarray(a, jnp.float32) for a in (w, mx, my, c00, c01, c11)]
+    ref = greedy_merge_channels(*args, 4.0, F, metric=0, use_pallas=False)
+    got = greedy_merge_pallas(*args, 4.0, F, interpret=True)
+    for g, r in zip(got, ref):
+        assert g.shape == (P, F)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_select_pads_odd_particle_counts(tiny_cfg, rng):
+    from phdslam_tpu.filter.update import kalman_preupdate
+    from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng, P=200)
+    pre, sum_ref, compat_ref, w_ref, *_ = _xla_selection(
+        cfg, gm, pose, z_rb, z_valid, 8)
+    out = fused_update_select(z_rb, pre, gm, cfg, k1=8, interpret=True)
+    sum_exp, w_sel = out[0], out[1]
+    assert sum_exp.shape == (200, z_rb.shape[0])
+    np.testing.assert_allclose(np.asarray(sum_exp), np.asarray(sum_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.sort(np.asarray(w_sel), axis=-1),
+                               np.sort(np.asarray(w_ref), axis=-1),
+                               rtol=1e-4, atol=1e-7)
