@@ -207,3 +207,33 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
 
     step = jax.jit(_step, donate_argnums=(0,))
     return step, init
+
+
+def island_run_scan(mesh: Mesh, cfg: SlamConfig,
+                    island_resample_thresh: float = 0.5):
+    """Whole-dataset `lax.scan` over the island step (the distributed analog
+    of filter.step.run_scan — one dispatch for the full run).
+
+    Returns (run_fn, init_fn):
+      run_fn(state, island_logw, key, controls [T,2], zs (leading T),
+             dts [T]) -> (state', island_logw', stacked IslandAux)
+    """
+    step, init = island_slam_step(mesh, cfg, island_resample_thresh)
+
+    @jax.jit
+    def run(state, island_logw, key, controls, zs, dts):
+        length = controls.shape[0]
+        keys = jax.random.split(key, length)
+        t_idx = jnp.arange(length)
+
+        def body(carry, inp):
+            st, ilw = carry
+            k, ctrl, z, dt, t = inp
+            st, ilw, aux = step(st, ilw, k, ctrl, z, dt, t > 0)
+            return (st, ilw), aux
+
+        (state_f, ilw_f), auxs = jax.lax.scan(
+            body, (state, island_logw), (keys, controls, zs, dts, t_idx))
+        return state_f, ilw_f, auxs
+
+    return run, init

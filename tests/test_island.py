@@ -114,3 +114,39 @@ def test_island_filter_tracks(tiny_cfg, mesh8):
                                jnp.float32(1.0), jnp.asarray(t > 0))
     pose = np.asarray(aux.expected_pose)
     assert np.linalg.norm(pose[:2]) < 1.5, pose
+
+
+def test_island_scan_matches_loop(tiny_cfg, mesh8):
+    """The scan runner must produce the same trajectory as stepping the
+    island filter in a Python loop with the same keys."""
+    from phdslam_tpu.filter.state import Measurements
+    from phdslam_tpu.parallel.island import island_run_scan, island_slam_step
+
+    cfg = _cfg(tiny_cfg)
+    T = 5
+    ms, vs = zip(*[_measure(t) for t in range(T)])
+    zs = Measurements(rb=jnp.asarray(np.stack(ms)),
+                      label=jnp.zeros((T, 8), jnp.int32),
+                      valid=jnp.asarray(np.stack(vs)))
+    controls = jnp.zeros((T, 2), jnp.float32)
+    dts = jnp.ones((T,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    run, init = island_run_scan(mesh8, cfg)
+    state, ilw = init()
+    stf, ilwf, auxs = run(state, ilw, key, controls, zs, dts)
+    assert np.asarray(auxs.expected_pose).shape == (T, 6)
+    assert np.all(np.isfinite(np.asarray(auxs.expected_pose)))
+
+    step, init2 = island_slam_step(mesh8, cfg)
+    st, lw = init2()
+    keys = jax.random.split(key, T)
+    for t in range(T):
+        st, lw, aux = step(st, lw, keys[t],
+                           controls[t], jax.tree.map(lambda x: x[t], zs),
+                           dts[t], jnp.asarray(t > 0))
+    np.testing.assert_allclose(np.asarray(aux.expected_pose),
+                               np.asarray(auxs.expected_pose[-1]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lw), np.asarray(ilwf),
+                               rtol=1e-4, atol=1e-5)
