@@ -130,7 +130,7 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
     assert cfg.nPredictParticles == 1, \
         "island mode requires n_predict_particles == 1"
     p_local = cfg.n_particles // n
-    mesh_on_tpu = mesh.devices.flat[0].platform not in ("cpu",)
+    mesh_on_tpu = mesh.devices.flat[0].platform in ("tpu", "axon")
     cfg_local = cfg.replace(n_particles=p_local,
                             usePallas=cfg.usePallas and mesh_on_tpu)
     rounds = []

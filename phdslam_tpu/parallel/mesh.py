@@ -79,6 +79,10 @@ def sharded_step(cfg, mesh: Mesh):
     from phdslam_tpu.filter.step import slam_step
 
     rep = replicated(mesh)
+    # Pallas kernels follow the mesh's devices, not the process default
+    # backend (a TPU plugin can be the default while this mesh is CPU)
+    if mesh.devices.flat[0].platform not in ("tpu",):
+        cfg = cfg.replace(usePallas=False)
 
     def step(state, key, control, z, dt, do_predict):
         return slam_step(state, key, control, z, dt, do_predict, cfg)
