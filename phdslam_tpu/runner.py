@@ -154,12 +154,25 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                 z_val[i] = valid[s["z"]]
         zs = Measurements(rb=jnp.asarray(z_rb), label=jnp.asarray(z_lab),
                           valid=jnp.asarray(z_val))
-        t0 = time.time()
-        final, auxs = run_scan(state, key, jnp.asarray(ctrl_arr), zs,
-                               jnp.asarray(dt_arr), cfg, t_len)
-        jax.block_until_ready(final)
-        elapsed = time.time() - t0
-        poses = np.asarray(auxs.expected_pose)
+        if getattr(args, "islands", 0) and args.islands > 1:
+            from phdslam_tpu.parallel.island import (island_run_scan,
+                                                     make_island_mesh)
+            imesh = make_island_mesh(args.islands)
+            irun, iinit = island_run_scan(imesh, cfg)
+            istate, ilw = iinit()
+            t0 = time.time()
+            final, ilw, auxs = irun(istate, ilw, key,
+                                    jnp.asarray(ctrl_arr), zs,
+                                    jnp.asarray(dt_arr))
+            poses = np.asarray(auxs.expected_pose)   # fetch == sync
+            elapsed = time.time() - t0
+        else:
+            t0 = time.time()
+            final, auxs = run_scan(state, key, jnp.asarray(ctrl_arr), zs,
+                                   jnp.asarray(dt_arr), cfg, t_len)
+            # host fetch is the only reliable sync through the TPU tunnel
+            poses = np.asarray(auxs.expected_pose)
+            elapsed = time.time() - t0
         for t in range(t_len):
             logs.append_loop_time(out_dir, elapsed / t_len * 1000)
         print(f"scan: {t_len} steps in {elapsed:.3f}s "
