@@ -240,7 +240,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
             _pt0 = time.time()
             _pred = _jax.jit(_predict, static_argnames=("cfg",))(
                 sk, state, ctrl, cfg, dt)
-            _jax.block_until_ready(_pred.pose)
+            _ = np.asarray(_pred.pose)
             logs.append_predict_time(out_dir, (time.time() - _pt0) * 1000)
         if use_islands:
             from phdslam_tpu.filter.step import StepAux
@@ -256,13 +256,14 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                                    jnp.asarray(do_predict), cfg,
                                    z_prev=z_prev)
         z_prev = z
-        jax.block_until_ready(state.log_weights)
+        # host fetch is the only reliable sync through the TPU tunnel
+        neff_val = float(np.asarray(aux.neff))
         elapsed_ms = (time.time() - t0) * 1000
         logs.append_loop_time(out_dir, elapsed_ms)
         if not args.no_logs:
             _write_step_log(out_dir, t, state, aux, cfg)
         logs.append_metrics_jsonl(out_dir, dict(
-            t=t, ms=elapsed_ms, neff=float(aux.neff),
+            t=t, ms=elapsed_ms, neff=neff_val,
             n_measure=int(aux.n_measure),
             resampled=bool(aux.resampled),
             log_lik=float(aux.log_lik),
@@ -274,7 +275,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
         if args.mat_export or cfg.saveAllMaps:
             from phdslam_tpu.io.matdump import write_particles_mat
             write_particles_mat(out_dir, t, jax.device_get(state))
-        if np.isnan(float(aux.neff)):
+        if np.isnan(neff_val):
             print("nan weights detected! exiting...")
             break
         if args.verbose:
