@@ -48,7 +48,7 @@ def _pad_rows(arrs, tile_p):
 
 def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
             ow_ref, omx_ref, omy_ref, o00_ref, o01_ref, o11_ref,
-            *, cap: int, min_separation: float):
+            *, cap: int, min_separation: float, metric: int):
     tp, K = w_ref.shape
     mx = mx_ref[:, :]
     my = my_ref[:, :]
@@ -77,13 +77,32 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
         rmx = pick(mx)[:, None]
         rmy = pick(my)[:, None]
-        a00 = 0.5 * (pick(c00)[:, None] + c00)
-        a01 = 0.5 * (pick(c01)[:, None] + c01)
-        a11 = 0.5 * (pick(c11)[:, None] + c11)
+        r00 = pick(c00)[:, None]
+        r01 = pick(c01)[:, None]
+        r11 = pick(c11)[:, None]
         dx = rmx - mx
         dy = rmy - my
-        det = a00 * a11 - a01 * a01
-        dist = (dx * dx * a11 - 2.0 * dx * dy * a01 + dy * dy * a00) / det
+        if metric == 1:
+            # Hellinger (device_math.cuh:388-413) — same arithmetic as the
+            # XLA path in ops/gm.py
+            s00, s01, s11 = r00 + c00, r01 + c01, r11 + c11
+            det_sum = s00 * s11 - s01 * s01
+            safe = jnp.maximum(det_sum, 1.17549435e-38)
+            eps_q = -0.25 * (dx * dx * s11 - 2.0 * dx * dy * s01
+                             + dy * dy * s00) / safe
+            det_prod = ((r00 * c00 + r01 * c01) * (r01 * c01 + r11 * c11)
+                        - (r00 * c01 + r01 * c11)
+                        * (r01 * c00 + r11 * c01))
+            dist = 1.0 - jnp.sqrt(
+                jnp.maximum(jnp.sqrt(jnp.maximum(det_prod, 0.0))
+                            / (det_sum / 4.0), 0.0)) * jnp.exp(eps_q)
+        else:
+            a00 = 0.5 * (r00 + c00)
+            a01 = 0.5 * (r01 + c01)
+            a11 = 0.5 * (r11 + c11)
+            det = a00 * a11 - a01 * a01
+            dist = (dx * dx * a11 - 2.0 * dx * dy * a01
+                    + dy * dy * a00) / det
         sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
         sel = sel & (mval > 0.0)[:, None]
         sw = jnp.where(sel, w_rem, 0.0)
@@ -114,11 +133,11 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_separation", "max_out", "tile_p",
-                                    "interpret"))
+                                    "interpret", "metric"))
 def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                         max_out: int, tile_p: int = 128,
-                        interpret: bool = False):
-    """Drop-in for ops.gm.greedy_merge_channels (metric 0 only).
+                        interpret: bool = False, metric: int = 0):
+    """Drop-in for ops.gm.greedy_merge_channels (metric 0 or 1).
 
     w..c11: [P, K] candidate channels; returns six [P, max_out] channels.
     Requires P % tile_p == 0 (callers gate on this plus the TPU backend).
@@ -133,7 +152,8 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel, cap=max_out,
-                          min_separation=float(min_separation)),
+                          min_separation=float(min_separation),
+                          metric=int(metric)),
         grid=(P // tile_p,),
         in_specs=[chan] * 6,
         out_specs=(out,) * 6,

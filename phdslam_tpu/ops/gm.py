@@ -149,12 +149,13 @@ def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
     carries fixed launch latency that dominates at small particle counts.
     """
     P, K = w.shape
-    if (use_pallas and metric == 0
+    if (use_pallas and metric in (0, 1)
             and jax.default_backend() in ("tpu", "axon")):
         # VMEM-resident kernel: one HBM pass instead of one per pick round
         from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
         return greedy_merge_pallas(w, mx, my, c00, c01, c11,
-                                   float(min_separation), max_out)
+                                   float(min_separation), max_out,
+                                   metric=metric)
     dtype = w.dtype
     col = jnp.arange(K)
     B = 16

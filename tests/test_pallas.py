@@ -232,3 +232,22 @@ def test_fused_select_pads_odd_particle_counts(tiny_cfg, rng):
     np.testing.assert_allclose(np.sort(np.asarray(w_sel), axis=-1),
                                np.sort(np.asarray(w_ref), axis=-1),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_merge_pallas_hellinger_matches_xla(rng):
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+    from phdslam_tpu.ops.gm import greedy_merge_channels
+
+    P, K, F = 128, 128, 48
+    w = (rng.uniform(size=(P, K)) < 0.6) * rng.uniform(0.01, 2.0, (P, K))
+    mx = rng.uniform(-20, 20, (P, K))
+    my = rng.uniform(-20, 20, (P, K))
+    c00 = rng.uniform(0.05, 1.5, (P, K))
+    c11 = rng.uniform(0.05, 1.5, (P, K))
+    c01 = 0.3 * np.sqrt(c00 * c11) * rng.uniform(-1, 1, (P, K))
+    args = [jnp.asarray(a, jnp.float32) for a in (w, mx, my, c00, c01, c11)]
+    ref = greedy_merge_channels(*args, 0.6, F, metric=1, use_pallas=False)
+    got = greedy_merge_pallas(*args, 0.6, F, metric=1, interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
