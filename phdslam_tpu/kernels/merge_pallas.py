@@ -160,7 +160,7 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
         out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
                         for _ in range(6)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(14e6)),
+            vmem_limit_bytes=int(48e6)),
         cost_estimate=pl.CostEstimate(
             flops=30 * P * K * max_out,
             bytes_accessed=(6 * P * K + 6 * P * max_out) * 4,
@@ -288,7 +288,7 @@ def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
         out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
                         for _ in range(15)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(40e6)),
+            vmem_limit_bytes=int(64e6)),
         cost_estimate=pl.CostEstimate(
             flops=80 * P * K * max_out,
             bytes_accessed=(15 * P * K + 15 * P * max_out) * 4,
@@ -396,7 +396,7 @@ def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
         out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
                         for _ in range(10)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(30e6)),
+            vmem_limit_bytes=int(48e6)),
         cost_estimate=pl.CostEstimate(
             flops=60 * P * K * max_out,
             bytes_accessed=(10 * P * K + 10 * P * max_out) * 4,

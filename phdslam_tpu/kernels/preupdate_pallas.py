@@ -145,7 +145,7 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
                   for _ in range(7))
         + (jax.ShapeDtypeStruct((M, P), dtype),),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(14e6)),
+            vmem_limit_bytes=int(48e6)),
         cost_estimate=pl.CostEstimate(
             flops=(12 + 10 * k1) * P * M * F,
             bytes_accessed=(16 * P * F + 8 * P * M * k1) * 4,
