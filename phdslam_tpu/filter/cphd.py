@@ -153,22 +153,23 @@ class CphdUpdateTerms(NamedTuple):
     scale_nondetect: jax.Array    # [P] log-scale for non-detection weights
 
 
-def psi_terms(lw, qdw, w, in_mask, z_valid, cn_predict,
+def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
               consts: CphdConstants, cfg: SlamConfig) -> CphdUpdateTerms:
     """Compute Vo's Psi inner products (computePsiKernel, .bak:1286-1430).
 
-    lw [P,M,F] detection log partial weights; qdw [P,F] log((1-pd) w);
-    w [P,F] linear weights; in_mask [P,F]; cn_predict [P,N+1] log.
+    sum_l [P,M]: log of the per-measurement detection mass
+    logsumexp_f(log pd + log w + log N(z; S)) over in-range features —
+    the only statistic of the [P,M,F] cross-product the Psi machinery
+    needs (so the fused TPU kernel's sum_exp feeds it directly);
+    qdw [P,F] log((1-pd) w); w [P,F] linear; cn_predict [P,N+1] log.
     """
-    P, M, F = lw.shape
+    P, M = sum_l.shape
     ncard = cn_predict.shape[-1]
     lf = consts.log_factorial
     lbin = consts.log_binomial
     cn_clut = consts.log_cn_clutter
 
     # Lambda_m = kappa^-1 lambda_c <pd w, N(z)> (log; .bak:1206-1221)
-    sum_l = jax.scipy.special.logsumexp(
-        jnp.where(in_mask[:, None, :], lw, NEG_INF), axis=-1)   # [P,M]
     log_lambda = (sum_l + safe_log(jnp.asarray(cfg.clutterRate))
                   - safe_log(jnp.asarray(cfg.clutterDensity)))
     log_lambda = jnp.where(z_valid[None, :], log_lambda, NEG_INF)
@@ -329,53 +330,80 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     M = z_rb.shape[0]
 
     pre = kalman_preupdate(pose, gm, cfg)
-    lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
     in_mask = pre.rclass == 1
     qdw = safe_log(1.0 - pre.pd) + safe_log(gm.w)               # [P,F]
+    minw = cfg.minFeatureWeight
+    k1 = min(8, F)
 
-    terms = psi_terms(lw, qdw, gm.w, in_mask, z_valid, cn_predict,
+    use_pallas = (cfg.usePallas
+                  and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+        # fused kernel (raw mode): per-measurement detection masses +
+        # unnormalized top-k1 detection candidates in one VMEM pass — the
+        # [P,M,F] cross-product is never materialized (psi_terms only
+        # needs its per-measurement logsumexp)
+        from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+        (sum_exp, e_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+         _lpw_sel, _compat) = fused_update_select(z_rb, pre, gm, cfg,
+                                                  k1=k1, raw=True)
+        if cfg.labeledMeasurements:
+            m_ok = z_valid & (z_label == 0)
+        else:
+            m_ok = z_valid
+        sum_exp = jnp.where(m_ok[None, :], sum_exp, 0.0)
+        e_sel = jnp.where(m_ok[None, :, None], e_sel, 0.0)
+        sum_l = jnp.where(sum_exp > 0, safe_log(sum_exp), NEG_INF)
+    else:
+        lw = detection_log_weights(pre, gm, z_rb, z_label, z_valid, cfg)
+        sum_l = jax.scipy.special.logsumexp(
+            jnp.where(in_mask[:, None, :], lw, NEG_INF), axis=-1)
+
+    terms = psi_terms(sum_l, qdw, gm.w, in_mask, z_valid, cn_predict,
                       consts, cfg)
 
     # weights (cphdUpdateKernel): no per-measurement normalizer — the Psi
     # inner products play that role
-    w_detect = jnp.exp(lw + terms.scale_detect[:, :, None])     # [P,M,F]
     w_nondetect = jnp.where(
         in_mask,
         jnp.exp(safe_log(gm.w) + terms.scale_nondetect[:, None]), 0.0)
 
     # prune + pool + merge. Same sectioned, gather-free layout as the PHD
     # path (filter/update.py): [originals F | per-measurement top-k1
-    # detections M*k1]; the merge output IS the new map, so the pool top-k
-    # and the union top-k (plus their row gathers) disappear. Near/out-of-
+    # detections M*k1]; the merge output IS the new map. Near/out-of-
     # range features pass through the originals section with their prior
-    # weights (geometrically isolated from all update candidates, so they
-    # only ever co-cluster with each other). CPHD births entered the map
-    # pre-update (add_births), so there is no birth section.
-    minw = cfg.minFeatureWeight
+    # weights. CPHD births entered the map pre-update (add_births), so
+    # there is no birth section.
     w_nd_p = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
     w_sec1 = jnp.where(in_mask, w_nd_p, gm.w)
 
-    k1 = min(8, F)
-    w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
-    w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
-    take_sel = lambda a: jnp.take_along_axis(
-        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
-    from phdslam_tpu.ops.linalg import wrap_angle
-    ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
-    ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
-    mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
-        + take_sel(pre.g01) * ib_sel
-    my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
-        + take_sel(pre.g11) * ib_sel
+    if use_pallas:
+        w_sel = e_sel * jnp.exp(terms.scale_detect)[:, :, None]
+        w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
+    else:
+        w_detect = jnp.exp(lw + terms.scale_detect[:, :, None])  # [P,M,F]
+        w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
+        w_sel, f_sel = jax.lax.top_k(w_det_p, k1)               # [P,M,k1]
+        take_sel = lambda a: jnp.take_along_axis(
+            a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+        from phdslam_tpu.ops.linalg import wrap_angle
+        ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
+        ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
+        mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
+            + take_sel(pre.g01) * ib_sel
+        my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
+            + take_sel(pre.g11) * ib_sel
+        u00_sel = take_sel(pre.u00)
+        u01_sel = take_sel(pre.u01)
+        u11_sel = take_sel(pre.u11)
 
     flat = lambda a: a.reshape(P, M * k1)
     cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
     cand_w = cat(w_sec1, flat(w_sel))
     cand_mx = cat(gm.mx, flat(mx_sel))
     cand_my = cat(gm.my, flat(my_sel))
-    cand_00 = cat(gm.c00, flat(take_sel(pre.u00)))
-    cand_01 = cat(gm.c01, flat(take_sel(pre.u01)))
-    cand_11 = cat(gm.c11, flat(take_sel(pre.u11)))
+    cand_00 = cat(gm.c00, flat(u00_sel))
+    cand_01 = cat(gm.c01, flat(u01_sel))
+    cand_11 = cat(gm.c11, flat(u11_sel))
 
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,

@@ -330,7 +330,25 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     dtype = gm2.w.dtype
 
     pre2 = kalman_preupdate(pose, gm2, cfg)
-    lw2 = detection_log_weights(pre2, gm2, z_rb, z_label, z_valid, cfg)
+    use_pallas = (cfg.usePallas
+                  and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+        # fused raw-mode kernel: detection masses + unnormalized top-k1
+        # candidates without materializing [P, M, F2]
+        from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+        k1s = min(8, F2)
+        (sum_exp2, e_sel2, mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
+         _lpw, _compat) = fused_update_select(z_rb, pre2, gm2, cfg,
+                                              k1=k1s, raw=True)
+        if cfg.labeledMeasurements:
+            m_ok2 = z_valid & (z_label == STATIC_MEASUREMENT)
+        else:
+            m_ok2 = z_valid
+        sum_exp2 = jnp.where(m_ok2[None, :], sum_exp2, 0.0)
+        e_sel2 = jnp.where(m_ok2[None, :, None], e_sel2, 0.0)
+    else:
+        lw2 = detection_log_weights(pre2, gm2, z_rb, z_label, z_valid, cfg)
+        sum_exp2 = jnp.sum(jnp.exp(lw2), axis=-1)
 
     pre4 = kalman_preupdate4(pose, gm4, cfg)
     innov_r = z_rb[None, :, None, 0] - pre4.r[:, None, :]
@@ -346,7 +364,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     lw4 = jnp.where(ok4, lw4, -jnp.inf)
 
     # --- joint per-measurement normalizer (src/phdfilter.cu:2476-2505) ---
-    sum_exp = jnp.sum(jnp.exp(lw2), axis=-1) + jnp.sum(jnp.exp(lw4), axis=-1)
+    sum_exp4 = jnp.sum(jnp.exp(lw4), axis=-1)
+    sum_exp = sum_exp2 + sum_exp4
     n_birth_terms = 1 if cfg.labeledMeasurements else 2
     normalizer = (sum_exp + cfg.clutterDensity
                   + n_birth_terms * cfg.birthWeight)
@@ -356,7 +375,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
 
     w_nd2 = jnp.where(pre2.rclass == 1, gm2.w * (1.0 - pre2.pd), 0.0)
     w_nd4 = jnp.where(pre4.rclass == 1, gm4.w * (1.0 - pre4.pd), 0.0)
-    w_det2 = jnp.exp(lw2 - log_norm[..., None])
+    if not use_pallas:
+        w_det2 = jnp.exp(lw2 - log_norm[..., None])
     w_det4 = jnp.exp(lw4 - log_norm[..., None])
     birth_lin = jnp.asarray(cfg.birthWeight, dtype)
     if cfg.labeledMeasurements:
@@ -379,9 +399,10 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
         cn_pred = (jnp.sum(jnp.where(pre2.rclass == 1, gm2.w, 0.0), -1)
                    + jnp.sum(jnp.where(pre4.rclass == 1, gm4.w, 0.0), -1)
                    + n_measure * cfg.birthWeight)
+        # total detection mass per measurement in closed form
+        det_mass = (sum_exp2 + sum_exp4) / normalizer
         cn_up = (jnp.sum(w_nd2, -1) + jnp.sum(w_nd4, -1)
-                 + jnp.sum(w_det2 * mvalid[None, :, None], (-2, -1))
-                 + jnp.sum(w_det4 * mvalid[None, :, None], (-2, -1))
+                 + jnp.sum(det_mass * mvalid[None, :], -1)
                  + jnp.sum(w_b2 * mvalid[None, :], -1)
                  + jnp.sum(w_b4 * mvalid[None, :], -1))
         dw = (n_measure * cfg.clutterDensity + cn_up - cn_pred
@@ -389,9 +410,15 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
 
     # --- static map: prune/pool/merge (same machinery as the pure-static
     # path, with the mixed normalizer already applied) ---
-    minw = cfg.minFeatureWeight
-    gm2_out = _pool_merge_static(gm2, pre2, w_nd2, w_det2, w_b2, z_rb,
-                                 pose, cfg)
+    if use_pallas:
+        scale = (1.0 / normalizer)[:, :, None]
+        sel = (e_sel2 * scale, mx_sel2, my_sel2, u00_sel2, u01_sel2,
+               u11_sel2)
+        gm2_out = _pool_merge_static_sel(gm2, pre2, w_nd2, sel, w_b2,
+                                         z_rb, pose, cfg)
+    else:
+        gm2_out = _pool_merge_static(gm2, pre2, w_nd2, w_det2, w_b2, z_rb,
+                                     pose, cfg)
     gm4_out = _pool_merge_dynamic(gm4, pre4, w_nd4, w_det4, w_b4, z_rb,
                                   pose, cfg)
     return gm2_out, gm4_out, dw
@@ -399,25 +426,11 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
 
 def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
     """Static-map candidate pool + merge with externally supplied component
-    weights (shared by the mixed path).
-
-    Sectioned, gather-free pool like filter/update.py:
-    [originals F | per-measurement top-k1 detections M*k1 | births M];
-    the merge output is directly the new map (no pool/union top-k).
-    Near/out-of-range features ride the originals section with their prior
-    weights — geometrically isolated from every update candidate, so they
-    only ever co-cluster with each other.
-    """
-    from phdslam_tpu.filter.state import Gaussian2DMixture
-    from phdslam_tpu.ops.gm import greedy_merge_channels
-
+    weights (shared by the mixed path): XLA top-k selection along F, then
+    the sectioned merge."""
     P, F = gm2.w.shape
     M = z_rb.shape[0]
     minw = cfg.minFeatureWeight
-    w_nd_p = jnp.where(w_nd >= minw, w_nd, 0.0)
-    w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
-    w_sec1 = jnp.where(pre2.rclass == 1, w_nd_p, gm2.w)
-
     k1 = min(8, F)
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
@@ -429,6 +442,29 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
         + take_sel(pre2.g01) * ib
     my_sel = take_sel(gm2.my) + take_sel(pre2.g10) * ir \
         + take_sel(pre2.g11) * ib
+    sel = (w_sel, mx_sel, my_sel, take_sel(pre2.u00),
+           take_sel(pre2.u01), take_sel(pre2.u11))
+    return _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb,
+                                  pose, cfg)
+
+
+def _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb, pose, cfg):
+    """Sectioned, gather-free static merge from preselected detection
+    channels (filter/update.py layout): [originals F | detections M*k1 |
+    births M]; the merge output is directly the new map. Near/out-of-range
+    features ride the originals section with their prior weights."""
+    from phdslam_tpu.filter.state import Gaussian2DMixture
+    from phdslam_tpu.ops.gm import greedy_merge_channels
+
+    w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel = sel
+    P, F = gm2.w.shape
+    M = z_rb.shape[0]
+    k1 = w_sel.shape[-1]
+    minw = cfg.minFeatureWeight
+    w_nd_p = jnp.where(w_nd >= minw, w_nd, 0.0)
+    w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
+    w_sec1 = jnp.where(pre2.rclass == 1, w_nd_p, gm2.w)
+    w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
 
     theta_b = pose[:, None, 2] + z_rb[None, :, 1]
     ct, st = jnp.cos(theta_b), jnp.sin(theta_b)
@@ -443,11 +479,11 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
         cat(w_sec1, flat(w_sel), w_b_p),
         cat(gm2.mx, flat(mx_sel), pose[:, None, 0] + bdx),
         cat(gm2.my, flat(my_sel), pose[:, None, 1] + bdy),
-        cat(gm2.c00, flat(take_sel(pre2.u00)),
+        cat(gm2.c00, flat(u00_sel),
             ct * ct * var_rb + bdy * bdy * var_bb),
-        cat(gm2.c01, flat(take_sel(pre2.u01)),
+        cat(gm2.c01, flat(u01_sel),
             ct * st * var_rb - bdy * bdx * var_bb),
-        cat(gm2.c11, flat(take_sel(pre2.u11)),
+        cat(gm2.c11, flat(u11_sel),
             st * st * var_rb + bdx * bdx * var_bb),
         cfg.minSeparation, F, metric=cfg.distanceMetric,
         use_pallas=cfg.usePallas)

@@ -41,7 +41,7 @@ def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
             sum_ref, wsel_ref, mxsel_ref, mysel_ref, u00sel_ref,
             u01sel_ref, u11sel_ref, lpwsel_ref, compat_ref,
             *, n_measure: int, k1: int, clutter_birth: float,
-            min_weight: float, gate_threshold: float):
+            min_weight: float, gate_threshold: float, raw: bool):
     r = r_ref[:, :]
     b = b_ref[:, :]
     lpw = lpw_ref[:, :]
@@ -66,8 +66,15 @@ def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
         in_rng = lpw > (0.5 * NEG_LARGE)
         compat_ref[m, :] = jnp.max(
             jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0), axis=1)
-        w_det = e * (1.0 / (s + clutter_birth))[:, None]
-        w_det = jnp.where(w_det >= min_weight, w_det, 0.0)
+        if raw:
+            # unnormalized detection terms: the caller applies its own
+            # per-measurement normalizer (CPHD scale_detect, mixed joint
+            # normalizer). Selection order is invariant to any positive
+            # per-(p, m) scale, so the top-k1 picks are identical.
+            w_det = e
+        else:
+            w_det = e * (1.0 / (s + clutter_birth))[:, None]
+            w_det = jnp.where(w_det >= min_weight, w_det, 0.0)
         # detection means for this measurement (shared across picks)
         mxd = mx_ref[:, :] + g00_ref[:, :] * ir + g01_ref[:, :] * ib
         myd = my_ref[:, :] + g10_ref[:, :] * ir + g11_ref[:, :] * ib
@@ -93,12 +100,16 @@ def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(3,),
-                   static_argnames=("k1", "tile_p", "interpret"))
+                   static_argnames=("k1", "tile_p", "interpret", "raw"))
 def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
-                        tile_p: int = 128, interpret: bool = False):
+                        tile_p: int = 128, interpret: bool = False,
+                        raw: bool = False):
     """Run the fused kernel. pre: filter.update.PreUpdate channels; gm:
     Gaussian2DMixture. Returns (sum_exp [P,M], w_sel, mx_sel, my_sel,
     u00_sel, u01_sel, u11_sel, lpw_sel — each [P,M,k1]).
+
+    raw=True returns unnormalized, unpruned detection values
+    (w_sel = exp(lw)) for callers with their own normalizers.
 
     Also returns compat [P, M] (1.0 where some in-range feature falls
     within cfg.gateThreshold of the measurement — birth gating, N23).
@@ -135,7 +146,7 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
             _kernel, n_measure=M, k1=k1,
             clutter_birth=float(cfg.clutterDensity + cfg.birthWeight),
             min_weight=float(cfg.minFeatureWeight),
-            gate_threshold=float(cfg.gateThreshold)),
+            gate_threshold=float(cfg.gateThreshold), raw=raw),
         grid=(P // tile_p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [chan] * 16,
         out_specs=(out_mp,) + (out_mkp,) * 7 + (out_mp,),

@@ -28,12 +28,18 @@ REPS = 3 if QUICK else 5
 
 
 def timeit(name, fn, *args, fetch=None):
+    def sync(out):
+        # fetch a tiny slice: forces the whole program, avoids paying the
+        # tunnel's ~100 ms per 16 MB device->host transfer in the timing
+        x = fetch(out) if fetch else jax.tree.leaves(out)[0]
+        _ = np.asarray(x.ravel()[:8])
+
     out = fn(*args)
-    _ = np.asarray(fetch(out) if fetch else jax.tree.leaves(out)[0])
+    sync(out)
     t0 = time.time()
     for _i in range(REPS):
         out = fn(*args)
-    _ = np.asarray(fetch(out) if fetch else jax.tree.leaves(out)[0])
+    sync(out)
     ms = (time.time() - t0) / REPS * 1000
     print(f"{name:44s} {ms:9.2f} ms")
     return ms

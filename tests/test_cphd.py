@@ -207,7 +207,9 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
                        for n in range(ncard)]] * P)
     prior -= np.log(np.exp(prior).sum(1, keepdims=True))
 
-    terms = C.psi_terms(lw, qdw, gm.w, in_mask, z_valid,
+    sum_l = jax.scipy.special.logsumexp(
+        jnp.where(np.asarray(in_mask)[:, None, :], lw, -jnp.inf), axis=-1)
+    terms = C.psi_terms(sum_l, qdw, gm.w, in_mask, z_valid,
                         jnp.asarray(prior, jnp.float32), consts, cfg)
     cn = np.asarray(terms.cn_update[0], np.float64)
     pmf = np.exp(cn - cn.max())

@@ -251,3 +251,83 @@ def test_merge_pallas_hellinger_matches_xla(rng):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_cphd_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
+    """cphd_update's kernel branch (raw-mode selection, interpret) must
+    match its XLA branch on the same inputs."""
+    from phdslam_tpu.filter import cphd as C
+    import phdslam_tpu.kernels.merge_pallas as MK
+    import phdslam_tpu.kernels.preupdate_pallas as K
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    cfg = cfg.replace(filterType=1, maxCardinality=31)
+    consts = C.make_constants(cfg)
+    ncard = cfg.maxCardinality + 1
+    cn = jnp.log(jnp.full((pose.shape[0], ncard), 1.0 / ncard))
+    z_label = jnp.zeros((z_rb.shape[0],), jnp.int32)
+
+    map_x, cn_x, dw_x = C.cphd_update(pose, gm, cn, z_rb, z_label,
+                                      z_valid, cfg, consts)
+
+    orig = K.fused_update_select
+    monkeypatch.setattr(
+        K, "fused_update_select",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    orig_merge = MK.greedy_merge_pallas
+    monkeypatch.setattr(
+        MK, "greedy_merge_pallas",
+        lambda *a, **kw: orig_merge(*a, **{**kw, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    map_p, cn_p, dw_p = C.cphd_update(pose, gm, cn, z_rb, z_label,
+                                      z_valid, cfg, consts)
+
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cn_p), np.asarray(cn_x),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(map_p.w), axis=-1),
+        np.sort(np.asarray(map_x.w), axis=-1), rtol=1e-3, atol=1e-5)
+
+
+def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
+    """phd_update_mixed's static-half kernel branch (raw mode, interpret)
+    vs the pure-XLA branch."""
+    import phdslam_tpu.kernels.merge_pallas as MK
+    import phdslam_tpu.kernels.preupdate_pallas as K
+    from phdslam_tpu.filter.state import Gaussian4DMixture
+    from phdslam_tpu.filter.update4 import phd_update_mixed
+
+    cfg, gm2, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    cfg = cfg.replace(featureModel=2, maxFeatures=gm2.w.shape[1])
+    P, F = gm2.w.shape
+    gm4 = Gaussian4DMixture.empty((P,), F // 2)
+    z_label = jnp.zeros((z_rb.shape[0],), jnp.int32)
+
+    g2x, g4x, dwx = phd_update_mixed(pose, gm2, gm4, z_rb, z_label,
+                                     z_valid, cfg)
+
+    orig = K.fused_update_select
+    monkeypatch.setattr(
+        K, "fused_update_select",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    orig_merge = MK.greedy_merge_pallas
+    monkeypatch.setattr(
+        MK, "greedy_merge_pallas",
+        lambda *a, **kw: orig_merge(*a, **{**kw, "interpret": True}))
+    orig_merge4 = MK.greedy_merge4_pallas
+    monkeypatch.setattr(
+        MK, "greedy_merge4_pallas",
+        lambda *a, **kw: orig_merge4(*a, **{**kw, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    g2p, g4p, dwp = phd_update_mixed(pose, gm2, gm4, z_rb, z_label,
+                                     z_valid, cfg)
+
+    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwx),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g2p.w), axis=-1),
+        np.sort(np.asarray(g2x.w), axis=-1), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g4p.w), np.asarray(g4x.w),
+                               rtol=1e-3, atol=1e-5)
