@@ -351,20 +351,34 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
         sum_exp2 = jnp.sum(jnp.exp(lw2), axis=-1)
 
     pre4 = kalman_preupdate4(pose, gm4, cfg)
-    innov_r = z_rb[None, :, None, 0] - pre4.r[:, None, :]
-    innov_b = wrap_angle(z_rb[None, :, None, 1] - pre4.bearing[:, None, :])
-    dist4 = (innov_r ** 2 * pre4.si00[:, None, :]
-             + 2 * innov_r * innov_b * pre4.si01[:, None, :]
-             + innov_b ** 2 * pre4.si11[:, None, :])
-    lw4 = (safe_log(pre4.pd)[:, None, :] + safe_log(gm4.w)[:, None, :]
-           - 0.5 * dist4 - LOG_2PI - 0.5 * pre4.log_det_s[:, None, :])
-    ok4 = (pre4.rclass == 1)[:, None, :] & z_valid[None, :, None]
-    if cfg.labeledMeasurements:
-        ok4 = ok4 & (z_label[None, :, None] == DYNAMIC_MEASUREMENT)
-    lw4 = jnp.where(ok4, lw4, -jnp.inf)
+    if use_pallas:
+        from phdslam_tpu.kernels.preupdate_pallas import (
+            fused_update_select4)
+        k1d = min(8, F4)
+        sum_exp4, e_sel4, mean_sel4, cov_sel4 = fused_update_select4(
+            z_rb, pre4, gm4, k1=k1d)
+        if cfg.labeledMeasurements:
+            m_ok4 = z_valid & (z_label == DYNAMIC_MEASUREMENT)
+        else:
+            m_ok4 = z_valid
+        sum_exp4 = jnp.where(m_ok4[None, :], sum_exp4, 0.0)
+        e_sel4 = jnp.where(m_ok4[None, :, None], e_sel4, 0.0)
+    else:
+        innov_r = z_rb[None, :, None, 0] - pre4.r[:, None, :]
+        innov_b = wrap_angle(
+            z_rb[None, :, None, 1] - pre4.bearing[:, None, :])
+        dist4 = (innov_r ** 2 * pre4.si00[:, None, :]
+                 + 2 * innov_r * innov_b * pre4.si01[:, None, :]
+                 + innov_b ** 2 * pre4.si11[:, None, :])
+        lw4 = (safe_log(pre4.pd)[:, None, :] + safe_log(gm4.w)[:, None, :]
+               - 0.5 * dist4 - LOG_2PI - 0.5 * pre4.log_det_s[:, None, :])
+        ok4 = (pre4.rclass == 1)[:, None, :] & z_valid[None, :, None]
+        if cfg.labeledMeasurements:
+            ok4 = ok4 & (z_label[None, :, None] == DYNAMIC_MEASUREMENT)
+        lw4 = jnp.where(ok4, lw4, -jnp.inf)
+        sum_exp4 = jnp.sum(jnp.exp(lw4), axis=-1)
 
     # --- joint per-measurement normalizer (src/phdfilter.cu:2476-2505) ---
-    sum_exp4 = jnp.sum(jnp.exp(lw4), axis=-1)
     sum_exp = sum_exp2 + sum_exp4
     n_birth_terms = 1 if cfg.labeledMeasurements else 2
     normalizer = (sum_exp + cfg.clutterDensity
@@ -377,7 +391,7 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     w_nd4 = jnp.where(pre4.rclass == 1, gm4.w * (1.0 - pre4.pd), 0.0)
     if not use_pallas:
         w_det2 = jnp.exp(lw2 - log_norm[..., None])
-    w_det4 = jnp.exp(lw4 - log_norm[..., None])
+        w_det4 = jnp.exp(lw4 - log_norm[..., None])
     birth_lin = jnp.asarray(cfg.birthWeight, dtype)
     if cfg.labeledMeasurements:
         b2_ok = (z_label == STATIC_MEASUREMENT)[None, :]
@@ -416,11 +430,14 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
                u11_sel2)
         gm2_out = _pool_merge_static_sel(gm2, pre2, w_nd2, sel, w_b2,
                                          z_rb, pose, cfg)
+        sel4 = (e_sel4 * scale, mean_sel4, cov_sel4)
+        gm4_out = _pool_merge_dynamic_sel(gm4, w_nd4, sel4, w_b4, z_rb,
+                                          pose, cfg)
     else:
         gm2_out = _pool_merge_static(gm2, pre2, w_nd2, w_det2, w_b2, z_rb,
                                      pose, cfg)
-    gm4_out = _pool_merge_dynamic(gm4, pre4, w_nd4, w_det4, w_b4, z_rb,
-                                  pose, cfg)
+        gm4_out = _pool_merge_dynamic(gm4, pre4, w_nd4, w_det4, w_b4,
+                                      z_rb, pose, cfg)
     return gm2_out, gm4_out, dw
 
 
@@ -532,6 +549,35 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
         [gm4.mean_channels, flatc(mean_det), mean_b], axis=-1)
     cand_cov = jnp.concatenate(
         [gm4.cov_channels, flatc(cov_det), cov_b], axis=-1)
+    ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
+                               cfg.minSeparation, F,
+                               use_pallas=cfg.usePallas)
+    return Gaussian4DMixture(w=ow, mean_channels=om, cov_channels=oc)
+
+
+def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg):
+    """Sectioned dynamic merge from preselected (kernel) detection
+    channels: [non-detections F | detections M*k1 | births M]."""
+    w_sel, mean_sel, cov_sel = sel          # [P,M,k1], [P,4,M,k1], [P,10,M,k1]
+    P, F = gm4.w.shape
+    M = z_rb.shape[0]
+    k1 = w_sel.shape[-1]
+    minw = cfg.minFeatureWeight
+    w_sec1 = jnp.where(w_nd >= minw, w_nd, 0.0)
+    w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
+    w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
+
+    bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg)
+    mean_b = jnp.stack(bm, axis=1)                              # [P,4,M]
+    cov_b = jnp.stack(bc, axis=1)                               # [P,10,M]
+
+    flat = lambda a: a.reshape(P, M * k1)
+    flatc = lambda a: a.reshape(P, a.shape[1], M * k1)
+    cand_w = jnp.concatenate([w_sec1, flat(w_sel), w_b_p], axis=-1)
+    cand_mean = jnp.concatenate(
+        [gm4.mean_channels, flatc(mean_sel), mean_b], axis=-1)
+    cand_cov = jnp.concatenate(
+        [gm4.cov_channels, flatc(cov_sel), cov_b], axis=-1)
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
                                cfg.minSeparation, F,
                                use_pallas=cfg.usePallas)

@@ -177,3 +177,121 @@ def sum_exp_reference(z_rb, z_valid, pre, gm, cfg):
                                jnp.zeros(z_rb.shape[0], jnp.int32),
                                z_valid, cfg)
     return jnp.sum(jnp.exp(lw), axis=-1)
+
+
+def _kernel4(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
+             lds_ref, g0_ref, g1_ref, g2_ref, g3_ref, g4_ref, g5_ref,
+             g6_ref, g7_ref, m0_ref, m1_ref, m2_ref, m3_ref,
+             c0_ref, c1_ref, c2_ref, c3_ref, c4_ref, c5_ref, c6_ref,
+             c7_ref, c8_ref, c9_ref,
+             sum_ref, wsel_ref,
+             m0s_ref, m1s_ref, m2s_ref, m3s_ref,
+             c0s_ref, c1s_ref, c2s_ref, c3s_ref, c4s_ref, c5s_ref,
+             c6s_ref, c7s_ref, c8s_ref, c9s_ref,
+             *, n_measure: int, k1: int):
+    """4-D (dynamic map) raw selection: per-measurement detection masses +
+    unnormalized top-k1 candidates with updated means (Kalman gain
+    channels) and updated covariances (measurement-independent)."""
+    r = r_ref[:, :]
+    b = b_ref[:, :]
+    lpw = lpw_ref[:, :]
+    base = lpw - LOG_2PI - 0.5 * lds_ref[:, :]
+    si00 = si00_ref[:, :]
+    si01 = si01_ref[:, :]
+    si11 = si11_ref[:, :]
+    g = [g0_ref[:, :], g1_ref[:, :], g2_ref[:, :], g3_ref[:, :],
+         g4_ref[:, :], g5_ref[:, :], g6_ref[:, :], g7_ref[:, :]]
+    m = [m0_ref[:, :], m1_ref[:, :], m2_ref[:, :], m3_ref[:, :]]
+    c = [c0_ref[:, :], c1_ref[:, :], c2_ref[:, :], c3_ref[:, :],
+         c4_ref[:, :], c5_ref[:, :], c6_ref[:, :], c7_ref[:, :],
+         c8_ref[:, :], c9_ref[:, :]]
+    m_out = [m0s_ref, m1s_ref, m2s_ref, m3s_ref]
+    c_out = [c0s_ref, c1s_ref, c2s_ref, c3s_ref, c4s_ref, c5s_ref,
+             c6s_ref, c7s_ref, c8s_ref, c9s_ref]
+    tp, F = r.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
+    two_pi = 2.0 * math.pi
+
+    def one_measurement(mi, _):
+        ir = z_ref[mi, 0] - r
+        ib = z_ref[mi, 1] - b
+        ib = ib - two_pi * jnp.round(ib / two_pi)
+        dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
+        e = jnp.exp(base - 0.5 * dist)
+        sum_ref[mi, :] = jnp.sum(e, axis=1)
+        md = [m[i] + g[2 * i] * ir + g[2 * i + 1] * ib for i in range(4)]
+
+        wrem = e
+        for j in range(k1):
+            mval = jnp.max(wrem, axis=1)
+            hit = wrem == mval[:, None]
+            first = jnp.min(jnp.where(hit, iota, F), axis=1)
+            onehot = iota == first[:, None]
+            pick = lambda ch: jnp.sum(jnp.where(onehot, ch, 0.0), axis=1)
+            wsel_ref[mi, j, :] = jnp.where(mval > 0.0, mval, 0.0)
+            for i in range(4):
+                m_out[i][mi, j, :] = pick(md[i])
+            for i in range(10):
+                c_out[i][mi, j, :] = pick(c[i])
+            wrem = jnp.where(onehot, 0.0, wrem)
+        return 0
+
+    jax.lax.fori_loop(0, n_measure, one_measurement, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k1", "tile_p", "interpret"))
+def fused_update_select4(z_rb, pre4, gm4, k1: int = 8,
+                         tile_p: int = 128, interpret: bool = False):
+    """Raw 4-D selection. pre4: filter.update4.PreUpdate4; gm4:
+    Gaussian4DMixture. Returns (sum_exp [P,M], w_sel [P,M,k1],
+    mean_sel [P,4,M,k1], cov_sel [P,10,M,k1]) — unnormalized detection
+    values; padded/invalid measurement columns are garbage (caller masks).
+    """
+    from phdslam_tpu.ops.linalg import safe_log
+
+    P0, F = pre4.r.shape
+    M = z_rb.shape[0]
+    lpw = jnp.maximum(safe_log(pre4.pd) + safe_log(gm4.w), NEG_LARGE)
+    chans = ([pre4.r, pre4.bearing, lpw, pre4.si00, pre4.si01, pre4.si11,
+              pre4.log_det_s]
+             + [pre4.gain[:, k, :] for k in range(8)]
+             + [gm4.mean_channels[:, k, :] for k in range(4)]
+             + [pre4.cov_update[:, k, :] for k in range(10)])
+    pad = (-P0) % tile_p
+    if pad:
+        chans = [jnp.pad(ch, ((0, pad), (0, 0)),
+                         constant_values=NEG_LARGE if i == 2 else 0.0)
+                 for i, ch in enumerate(chans)]
+    P = P0 + pad
+
+    chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_mp = pl.BlockSpec((M, tile_p), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    out_mkp = pl.BlockSpec((M, k1, tile_p), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    dtype = pre4.r.dtype
+    outs = pl.pallas_call(
+        functools.partial(_kernel4, n_measure=M, k1=k1),
+        grid=(P // tile_p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [chan] * 29,
+        out_specs=(out_mp,) + (out_mkp,) * 15,
+        out_shape=(jax.ShapeDtypeStruct((M, P), dtype),)
+        + tuple(jax.ShapeDtypeStruct((M, k1, P), dtype)
+                for _ in range(15)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(64e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=(20 + 16 * k1) * P * M * F,
+            bytes_accessed=(29 * P * F + 16 * P * M * k1) * 4,
+            transcendentals=P * M * F),
+        interpret=interpret,
+    )(z_rb, *chans)
+    sum_exp = jnp.transpose(outs[0], (1, 0))[:P0]
+    w_sel = jnp.transpose(outs[1], (2, 0, 1))[:P0]
+    mean_sel = jnp.stack(
+        [jnp.transpose(o, (2, 0, 1))[:P0] for o in outs[2:6]], axis=1)
+    cov_sel = jnp.stack(
+        [jnp.transpose(o, (2, 0, 1))[:P0] for o in outs[6:16]], axis=1)
+    return sum_exp, w_sel, mean_sel, cov_sel

@@ -302,7 +302,19 @@ def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
     cfg, gm2, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
     cfg = cfg.replace(featureModel=2, maxFeatures=gm2.w.shape[1])
     P, F = gm2.w.shape
-    gm4 = Gaussian4DMixture.empty((P,), F // 2)
+    F4 = F // 2
+    gm4 = Gaussian4DMixture.empty((P,), F4)
+    # populate the dynamic map so the 4-D selection path does real work
+    w4 = (rng.uniform(size=(P, F4)) < 0.3) * rng.uniform(
+        0.1, 1.0, (P, F4))
+    mean4 = np.zeros((P, 4, F4), np.float32)
+    mean4[:, 0] = rng.uniform(-8, 8, (P, F4))
+    mean4[:, 1] = rng.uniform(-8, 8, (P, F4))
+    mean4[:, 2:] = rng.uniform(-0.5, 0.5, (P, 2, F4))
+    cov4 = np.asarray(gm4.cov_channels) * 0.3
+    gm4 = Gaussian4DMixture(w=jnp.asarray(w4, jnp.float32),
+                            mean_channels=jnp.asarray(mean4),
+                            cov_channels=jnp.asarray(cov4))
     z_label = jnp.zeros((z_rb.shape[0],), jnp.int32)
 
     g2x, g4x, dwx = phd_update_mixed(pose, gm2, gm4, z_rb, z_label,
@@ -312,6 +324,10 @@ def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
     monkeypatch.setattr(
         K, "fused_update_select",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    orig4 = K.fused_update_select4
+    monkeypatch.setattr(
+        K, "fused_update_select4",
+        lambda *a, **kw: orig4(*a, **{**kw, "interpret": True}))
     orig_merge = MK.greedy_merge_pallas
     monkeypatch.setattr(
         MK, "greedy_merge_pallas",
