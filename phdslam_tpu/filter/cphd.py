@@ -377,7 +377,11 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     w_sec1 = jnp.where(in_mask, w_nd_p, gm.w)
 
     if use_pallas:
-        w_sel = e_sel * jnp.exp(terms.scale_detect)[:, :, None]
+        # recombine in log space: exp(scale_detect) alone can overflow
+        # float32 (the Psi inner-product ratios reach +-90) even when the
+        # product with the detection value is moderate
+        w_sel = jnp.exp(safe_log(e_sel)
+                        + terms.scale_detect[:, :, None])
         w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
     else:
         w_detect = jnp.exp(lw + terms.scale_detect[:, :, None])  # [P,M,F]

@@ -214,8 +214,9 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
     # detection log-weights [P, M, F]
     iu = z_uv[None, :, None, 0] - m0[:, None, :]
     iv = z_uv[None, :, None, 1] - m1[:, None, :]
-    dist = (iu * iu * si00[:, None, :] + 2 * iu * iv * si01[:, None, :]
-            + iv * iv * si11[:, None, :])
+    dist = jnp.maximum(
+        iu * iu * si00[:, None, :] + 2 * iu * iv * si01[:, None, :]
+        + iv * iv * si11[:, None, :], 0.0)  # see detection_log_weights
     lw = (safe_log(pd)[:, None, :] + safe_log(state.w)[:, None, :]
           - 0.5 * dist - LOG_2PI - 0.5 * jnp.log(det_s)[:, None, :])
     ok = in_fov[:, None, :] & z_valid[None, :, None]

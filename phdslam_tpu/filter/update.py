@@ -171,6 +171,11 @@ def detection_log_weights(pre: PreUpdate, gm: Gaussian2DMixture, z_rb,
     dist = (innov_r * innov_r * pre.si00[:, None, :]
             + 2.0 * innov_r * innov_b * pre.si01[:, None, :]
             + innov_b * innov_b * pre.si11[:, None, :])
+    # a Mahalanobis quadratic is nonnegative by definition; float32 can
+    # leave a near-singular covariance indefinite after merges, where the
+    # raw quadratic goes hugely negative and exp() overflows (observed:
+    # dist = -398 from si00 = -5.9 on a w=1e-3 component)
+    dist = jnp.maximum(dist, 0.0)
     lw = (safe_log(pre.pd)[:, None, :]
           + safe_log(gm.w)[:, None, :]
           - 0.5 * dist

@@ -370,6 +370,7 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
         dist4 = (innov_r ** 2 * pre4.si00[:, None, :]
                  + 2 * innov_r * innov_b * pre4.si01[:, None, :]
                  + innov_b ** 2 * pre4.si11[:, None, :])
+        dist4 = jnp.maximum(dist4, 0.0)   # see detection_log_weights
         lw4 = (safe_log(pre4.pd)[:, None, :] + safe_log(gm4.w)[:, None, :]
                - 0.5 * dist4 - LOG_2PI - 0.5 * pre4.log_det_s[:, None, :])
         ok4 = (pre4.rclass == 1)[:, None, :] & z_valid[None, :, None]

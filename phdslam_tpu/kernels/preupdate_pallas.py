@@ -58,6 +58,9 @@ def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
         ib = z_ref[m, 1] - b
         ib = ib - two_pi * jnp.round(ib / two_pi)
         dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
+        # nonnegative by definition; float32-indefinite covariances can
+        # make the raw quadratic hugely negative -> exp overflow
+        dist = jnp.maximum(dist, 0.0)
         e = jnp.exp(base - 0.5 * dist)                     # [tp, F]
         s = jnp.sum(e, axis=1)                             # [tp]
         sum_ref[m, :] = s
@@ -217,6 +220,7 @@ def _kernel4(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
         ib = z_ref[mi, 1] - b
         ib = ib - two_pi * jnp.round(ib / two_pi)
         dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
+        dist = jnp.maximum(dist, 0.0)
         e = jnp.exp(base - 0.5 * dist)
         sum_ref[mi, :] = jnp.sum(e, axis=1)
         md = [m[i] + g[2 * i] * ir + g[2 * i + 1] * ib for i in range(4)]
