@@ -92,9 +92,10 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
             SlamState.create(cfg), jax.random.PRNGKey(seed + run),
             jnp.asarray(ctrl), zs,
             jnp.full((t_len,), cfg.dt, jnp.float32), cfg, t_len)
-        jax.block_until_ready(final)
-        elapsed = time.time() - t0
+        # host fetch is the only reliable sync through the TPU tunnel
+        # (block_until_ready is a no-op there -> fictional timings)
         poses = np.asarray(auxs.expected_pose)
+        elapsed = time.time() - t0
         pose_err, _ = analyze_run(poses, scenario.traj)
         results.append(RunResult(
             poses=poses, pose_err=pose_err,

@@ -372,7 +372,9 @@ def run_disparity(cfg: SlamConfig, args):
         state, aux = disparity_step(
             state, sk, jnp.asarray(rb[t]), jnp.asarray(valid[t]),
             jnp.float32(cfg.dt), jnp.asarray(t > 0), cfg)
-        jax.block_until_ready(state.log_weights)
+        # host fetch is the only reliable sync through the TPU tunnel
+        # (block_until_ready is a no-op there -> fictional timings)
+        neff_val = float(np.asarray(aux.neff))
         logs.append_loop_time(out_dir, (time.time() - t0) * 1000)
         if args.verbose:
             print(f"step {t}/{n_steps} neff={float(aux.neff):.3f} "

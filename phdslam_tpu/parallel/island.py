@@ -67,6 +67,12 @@ def make_island_mesh(n_islands: int) -> Mesh:
     devs = jax.devices()
     if len(devs) < n_islands:
         devs = jax.local_devices(backend="cpu")
+    if len(devs) < n_islands:
+        raise RuntimeError(
+            f"requested {n_islands} islands but only {len(devs)} devices "
+            "exist; set jax.config.update('jax_num_cpu_devices', "
+            f"{n_islands}) (or XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n_islands}) before initializing jax")
     return Mesh(np.asarray(devs[:n_islands]), (AXIS,))
 
 

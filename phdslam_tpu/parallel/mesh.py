@@ -38,6 +38,12 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
         # to a single chip regardless of JAX_PLATFORMS
         devs = jax.local_devices(backend="cpu")
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                "devices exist; set jax.config.update('jax_num_cpu_devices', "
+                f"{n_devices}) (or XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices}) before initializing jax")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (PARTICLE_AXIS,))
 

@@ -55,8 +55,12 @@ def schedule_inputs(n_steps, meas_sets, controls, meas_times, ctrl_times):
         if z_idx >= len(meas_times) or c_idx >= len(ctrl_times):
             break
         if meas_times[z_idx] < ctrl_times[c_idx]:
+            # measurement-only step: the reference keeps the previous
+            # current_control and still predicts with it
+            # (src/main.cpp:1193-1203) — reuse the last consumed control
             last, current_time = current_time, ctrl_times[c_idx]
-            sched.append(dict(z=z_idx, c=None, dt=current_time - last,
+            stale_c = c_idx - 1 if c_idx > 0 else None
+            sched.append(dict(z=z_idx, c=stale_c, dt=current_time - last,
                               predict=True))
             z_idx += 1
         elif meas_times[z_idx] == ctrl_times[c_idx]:
@@ -73,26 +77,51 @@ def schedule_inputs(n_steps, meas_sets, controls, meas_times, ctrl_times):
     return sched
 
 
+def _map_for_log(state, mixture, cfg, eap):
+    """MAP (argmax-weight particle) or EAP (weighted concat + greedy reduce)
+    estimate of one GM map, as numpy (w, mean, cov) with empty slots dropped
+    (recoverSlamState, src/main.cpp:344-379)."""
+    if eap:
+        return estimate.eap_map_np(
+            state.log_weights, mixture.w, mixture.mean, mixture.cov,
+            cfg.minSeparation)
+    idx = int(np.argmax(np.asarray(state.log_weights)))
+    w = np.asarray(mixture.w[idx])
+    valid = w > 0
+    return (w[valid], np.asarray(mixture.mean[idx])[valid],
+            np.asarray(mixture.cov[idx])[valid])
+
+
+def _cn_estimate_for_log(state):
+    """Cardinality distribution for log line 7: the MAP particle's under
+    mapEstimate&1 (src/main.cpp:358-361; the reference's mapEstimate&2
+    branch zeroes it via cn_estimate.clear(), :372-379 — we keep the MAP
+    particle's, the only non-degenerate choice), particle 0 when there is
+    only one particle (:385-387)."""
+    if state.cardinality is None:
+        return None
+    lw = np.asarray(state.log_weights)
+    idx = int(np.argmax(lw)) if lw.shape[0] > 1 else 0
+    return np.asarray(state.cardinality[idx])
+
+
 def _write_step_log(out_dir, t, state, aux, cfg, eap=False):
-    if cfg.mapEstimate & 2 or eap:
-        w, mean, cov = estimate.eap_map_np(
-            state.log_weights, state.map_static.w, state.map_static.mean,
-            state.map_static.cov, cfg.minSeparation)
-    else:
-        gm = estimate.map_map_static(state)
-        valid = np.asarray(gm.w) > 0
-        w = np.asarray(gm.w)[valid]
-        mean = np.asarray(gm.mean)[valid]
-        cov = np.asarray(gm.cov)[valid]
+    eap = bool(cfg.mapEstimate & 2) or eap
+    w, mean, cov = _map_for_log(state, state.map_static, cfg, eap)
+    dyn_w = dyn_mean = dyn_cov = None
+    if cfg.featureModel != 0 and state.map_dynamic.max_features > 0:
+        # dynamic map is log line 3 (src/main.cpp:884-900)
+        dyn_w, dyn_mean, dyn_cov = _map_for_log(
+            state, state.map_dynamic, cfg, eap)
     repeat = cfg.nPredictParticles if t == 0 else 1
     logs.write_state_estimate_log(
         out_dir, t, np.asarray(aux.expected_pose),
         w, mean, cov,
+        dynamic_w=dyn_w, dynamic_mean=dyn_mean, dynamic_cov=dyn_cov,
         particle_log_weights=np.asarray(state.log_weights),
         particle_poses=np.asarray(state.pose),
         resample_idx=np.asarray(state.resample_idx),
-        cardinality=None if state.cardinality is None
-        else np.asarray(state.cardinality[0]),
+        cardinality=_cn_estimate_for_log(state),
         max_cardinality=cfg.maxCardinality,
         is_cphd=cfg.filterType == CPHD_TYPE,
         repeat=repeat)
@@ -293,14 +322,16 @@ def run_profile(cfg: SlamConfig, args):
     z = jax.device_put(d["z"])
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
-    state, aux = slam_step(state, key, (jnp.float32(0), jnp.float32(0)), z,
-                           jnp.float32(cfg.dt), jnp.asarray(True), cfg)
-    jax.block_until_ready(state.log_weights)
+    state1, aux = slam_step(state, key, (jnp.float32(0), jnp.float32(0)), z,
+                            jnp.float32(cfg.dt), jnp.asarray(True), cfg)
+    # host fetch is the only reliable sync through the TPU tunnel
+    # (block_until_ready is a no-op there -> fictional timings)
+    np.asarray(state1.log_weights)
     print(f"profile step: {(time.time() - t0) * 1000:.2f} ms (incl compile)")
     t0 = time.time()
-    state, aux = slam_step(state, key, (jnp.float32(0), jnp.float32(0)), z,
-                           jnp.float32(cfg.dt), jnp.asarray(True), cfg)
-    jax.block_until_ready(state.log_weights)
+    state2, aux = slam_step(state, key, (jnp.float32(0), jnp.float32(0)), z,
+                            jnp.float32(cfg.dt), jnp.asarray(True), cfg)
+    np.asarray(state2.log_weights)
     print(f"profile step: {(time.time() - t0) * 1000:.2f} ms (compiled)")
 
 
