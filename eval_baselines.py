@@ -19,6 +19,12 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tpu")
+# 8 virtual CPU devices for the config-5 HLO collective inventory (the CPU
+# backend coexists with the TPU default backend)
+if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
 
 import numpy as np
 from scipy.io import loadmat
@@ -87,7 +93,7 @@ def map_ospa(final, gt, c=5.0):
 
 def main():
     results = {}
-    lines = ["# RESULTS — BASELINE.md configurations (round 1)",
+    lines = ["# RESULTS — BASELINE.md configurations (round 2)",
              "",
              f"Backend: single TPU v5e chip via the experimental tunnel;"
              f" quick={QUICK}", ""]
@@ -201,6 +207,90 @@ def main():
         "update to 4e-7 — tests/test_cphd.py)",
         ""]
 
+    # ---------- Monte-Carlo OSPA envelopes (batch methodology) ----------
+    # the reference's headline evaluation: >=50 re-noisings of one ground
+    # truth, mean+-std OSPA envelopes (python/batch_analyze.py:29-33 +
+    # plot_results.py:21-66)
+    from phdslam_tpu.eval.batch import aggregate, run_batch
+    from phdslam_tpu.eval.plots import plot_error_curves
+    from phdslam_tpu.simdata import make_scenario
+
+    n_mc = 8 if QUICK else 50
+    t_mc = 60 if QUICK else 330
+    sc = make_scenario(np.random.default_rng(42), n_landmarks=80,
+                       n_steps=t_mc)
+    cfg_mc = load_config("cfg/ackerman_synth.cfg").replace(n_particles=256)
+    os.makedirs("results", exist_ok=True)
+    if os.path.exists("results/batch_metrics.jsonl"):
+        os.remove("results/batch_metrics.jsonl")
+    mc = run_batch(cfg_mc, sc, n_runs=n_mc, control_noise=(0.2, 0.01),
+                   out_dir="results")
+    agg = aggregate(mc)
+    plot_path = plot_error_curves(agg, "results/mc_envelopes.png")
+    o_mean = agg["ospa_mean"]
+    o_std = agg["ospa_std"]
+    half = t_mc // 2
+    results["mc_ospa"] = dict(
+        n_runs=n_mc, steps=t_mc,
+        ospa_final_mean=float(o_mean[-1]), ospa_final_std=float(o_std[-1]),
+        ospa_late_mean=float(np.nanmean(o_mean[half:])),
+        ospa_late_std=float(np.nanmean(o_std[half:])),
+        pose_err_late_mean=float(agg["pose_err_mean"][half:].mean()),
+        ms_per_step=float(np.mean(agg["ms_per_step"])),
+        plot=plot_path)
+    lines += [
+        f"## Monte-Carlo OSPA envelopes — {n_mc} runs x {t_mc} steps "
+        "(batch methodology)",
+        f"- scenario: 80 random landmarks in [-20,20]^2, SynthSetup2.m "
+        "recipe; 256 particles; control noise (0.2 m/s, 0.01 rad) "
+        "re-sampled per run",
+        f"- OSPA(p=1,c=5), steps {half}-{t_mc}: mean "
+        f"{np.nanmean(o_mean[half:]):.2f} +- "
+        f"{np.nanmean(o_std[half:]):.2f}; final step "
+        f"{o_mean[-1]:.2f} +- {o_std[-1]:.2f}",
+        f"- pose error, steps {half}-{t_mc}: mean "
+        f"{agg['pose_err_mean'][half:].mean():.2f} m",
+        f"- envelope plot: `{plot_path}`; per-run metrics: "
+        "`results/batch_metrics.jsonl`", ""]
+
+    # ---------- disparity (monocular SC-PHD) pipeline ----------
+    import types
+
+    from phdslam_tpu.filter.disparity import run_disparity
+
+    t0 = time.time()
+    cfg_d = load_config("cfg/disparity_synth.cfg")
+    if QUICK:
+        cfg_d = cfg_d.replace(nSteps=20)
+    args_d = types.SimpleNamespace(
+        data_dir=None, measurements=None, out_dir="results/disparity",
+        seed=0, verbose=False, no_logs=False)
+    os.makedirs("results/disparity", exist_ok=True)
+    for f in os.listdir("results/disparity"):
+        os.remove(os.path.join("results/disparity", f))
+    res_d = run_disparity(cfg_d, args_d)
+    truth_d = np.loadtxt("data/disparity_synth/traj.txt", skiprows=1)
+    t_d = len(res_d["poses"])
+    err_d = np.linalg.norm(res_d["poses"][:, :3] - truth_d[:t_d, :3],
+                           axis=1)
+    # honest per-step time from loopTime.log (host-fetch synced), skipping
+    # the compile step
+    lt = np.loadtxt("results/disparity/loopTime.log")
+    ms_d = float(np.median(lt[1:])) if lt.size > 1 else float(lt)
+    results["disparity"] = dict(
+        steps=t_d, pose_err_mean=float(err_d.mean()),
+        pose_err_final=float(err_d[-1]), ms_per_step=ms_d)
+    lines += [
+        "## Disparity (monocular SC-PHD) — cfg/disparity_synth.cfg",
+        f"- shipped synthetic camera dataset data/disparity_synth/ "
+        f"(30 landmarks, drifting 6-DOF camera), {t_d} steps, "
+        f"{cfg_d.n_particles} particles x {cfg_d.particlesPerFeature} "
+        "cloud points/feature",
+        f"- mean camera position error {err_d.mean():.3f} m "
+        f"(final {err_d[-1]:.3f} m) vs ground truth",
+        f"- {ms_d:.2f} ms/step median (loopTime.log, host-fetch synced)",
+        ""]
+
     # ---------- config 4: dense stress ----------
     out = subprocess.run([sys.executable, "bench.py"]
                          + (["--quick"] if QUICK else []),
@@ -211,6 +301,94 @@ def main():
               f"- `{bench_line}`", ""]
 
     # ---------- config 5: multi-chip ----------
+    # (a) memory headroom: the full 65k-particle state on ONE chip
+    import jax
+    import jax.numpy as jnp
+
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import slam_step
+    from phdslam_tpu.io.loaders import pad_measurement_sets
+
+    p65 = 65536
+    cfg5 = load_config("cfg/ackerman_synth.cfg").replace(n_particles=p65)
+    rb5, lab5, val5 = pad_measurement_sets(ms[:3], cfg5.maxMeasurements)
+    st5 = SlamState.create(cfg5)
+    z5 = Measurements(rb=jnp.asarray(rb5[1]), label=jnp.asarray(lab5[1]),
+                      valid=jnp.asarray(val5[1]))
+    k5 = jax.random.PRNGKey(0)
+    ctrl5 = (jnp.float32(noisy[0, 0]), jnp.float32(noisy[0, 1]))
+    st5, _ = slam_step(st5, k5, ctrl5, z5, jnp.float32(1.0),
+                       jnp.asarray(True), cfg5)   # compile + warm
+    _ = np.asarray(st5.log_weights)
+    t0 = time.time()
+    st5, aux5 = slam_step(st5, k5, ctrl5, z5, jnp.float32(1.0),
+                          jnp.asarray(True), cfg5)
+    _ = np.asarray(st5.log_weights)
+    ms65 = (time.time() - t0) * 1000
+    results["single_chip_65k"] = dict(
+        n_particles=p65, max_features=cfg5.maxFeatures,
+        ms_per_step=ms65, neff=float(np.asarray(aux5.neff)))
+
+    # (b) HLO collective inventory on the 8-virtual-device CPU mesh
+    import re as _re
+
+    from phdslam_tpu.parallel.island import island_slam_step
+    from phdslam_tpu.parallel.mesh import (
+        make_mesh, replicate_measurements, shard_state, sharded_step)
+
+    def collective_inventory(hlo):
+        inv = {}
+        shape_re = _re.compile(r"\b(f32|s32|u32|pred)\[([\d,]*)\]")
+        nbytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1}
+        for op in ("all-reduce", "all-gather", "all-to-all",
+                   "collective-permute", "reduce-scatter"):
+            worst = -1
+            for line in hlo.splitlines():
+                if _re.search(rf"= \S+ {op}", line) or \
+                        _re.search(rf"\b{op}(-start)?\(", line):
+                    for dt, dims in shape_re.findall(line):
+                        n = 1
+                        for d in dims.split(","):
+                            if d:
+                                n *= int(d)
+                        worst = max(worst, n * nbytes[dt])
+            if worst >= 0:
+                inv[op] = worst
+        return inv
+
+    cfgm = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=64, maxFeatures=32, maxMeasurements=16,
+        usePallas=False)
+    try:
+        mesh = make_mesh(8)
+        stm = shard_state(SlamState.create(cfgm), mesh)
+        zm = replicate_measurements(Measurements(
+            rb=jnp.asarray(rb5[1][:16]), label=jnp.asarray(lab5[1][:16]),
+            valid=jnp.asarray(val5[1][:16])), mesh)
+        stepm = sharded_step(cfgm, mesh)
+        hlo_g = stepm.lower(stm, k5, ctrl5, zm, jnp.float32(1.0),
+                            jnp.asarray(True)).compile().as_text()
+        inv_g = collective_inventory(hlo_g)
+        cfgi = cfgm.replace(nPredictParticles=1)
+        istep, iinit = island_slam_step(mesh, cfgi)
+        ist, ilw = iinit()
+        hlo_i = istep.lower(ist, ilw, k5, jnp.stack(ctrl5), zm,
+                            jnp.float32(1.0),
+                            jnp.asarray(True)).compile().as_text()
+        inv_i = collective_inventory(hlo_i)
+        results["hlo_collectives"] = dict(global_path=inv_g,
+                                          island_path=inv_i)
+        hlo_lines = [
+            f"- HLO collective inventory (8-device mesh, 64 particles x "
+            f"32 features; max operand bytes per op):",
+            f"  - global-resample path: {inv_g}",
+            f"  - island path: {inv_i} — the exchange is "
+            "collective-permutes of one shard's particles; no global-map "
+            "all-gather (tests/test_multichip_evidence.py asserts both "
+            "inventories)"]
+    except RuntimeError as e:
+        hlo_lines = [f"- HLO inventory skipped: {e}"]
+
     lines += [
         "## Config 5 — multi-chip (65k particles over v5e-8)",
         "- Real multi-chip hardware is unavailable in this harness; the "
@@ -221,8 +399,12 @@ def main():
         "- Locality-preserving island resampling (parallel/island.py): "
         "per-chip local resample + butterfly ppermute exchange; validated "
         "on the same virtual mesh (tests/test_island.py).",
-        "- Per-chip load at 65k/8 = 8192 particles is exactly the config-4 "
-        "measurement (~50 ms/step/chip with the fused kernels).", ""]
+        f"- Single-chip 65k-particle memory-headroom run (config-5 shape "
+        f"on ONE chip): {ms65:.1f} ms/step at 65536 particles x "
+        f"{cfg5.maxFeatures} features — the full multi-chip state fits "
+        "on a single chip with room to spare; per-chip load at 65k/8 = "
+        "8192 particles is the config-4 measurement.",
+        *hlo_lines, ""]
 
     with open("RESULTS.md", "w") as f:
         f.write("\n".join(lines))

@@ -59,13 +59,52 @@ def analyze_run(poses, true_traj, map_estimates=None, true_maps=None,
     return pose_err, ospa
 
 
+def visited_landmarks(scenario) -> List[np.ndarray]:
+    """Per-step ground-truth maps: the landmarks that have entered the
+    sensor FOV at any step <= t — the semantics of the reference's
+    sim.groundTruth[t].loc (SynthSetup2.m builds it cumulatively; OSPA in
+    batch_analyze.py:26-33 scores against it)."""
+    seen = np.zeros(scenario.landmarks.shape[0], bool)
+    out = []
+    for pose in scenario.traj:
+        d = scenario.landmarks - pose[:2]
+        r = np.linalg.norm(d, axis=1)
+        b = np.arctan2(d[:, 1], d[:, 0]) - pose[2]
+        b = np.arctan2(np.sin(b), np.cos(b))
+        seen |= ((r >= scenario.min_range) & (r <= scenario.max_range)
+                 & (np.abs(b) <= scenario.max_bearing))
+        out.append(scenario.landmarks[seen].copy())
+    return out
+
+
+def _map_ospa_curve(log_auxs, true_maps, every: int, t_len: int,
+                    p=1.0, c=5.0) -> np.ndarray:
+    """OSPA of the per-step MAP-particle map (thresholded the
+    batch_analyze.py:26-28 way) vs the per-step visited-landmark truth."""
+    ospa = np.full((t_len, 3), np.nan)
+    w_all = np.asarray(log_auxs.map_w)
+    mx_all = np.asarray(log_auxs.map_mx)
+    my_all = np.asarray(log_auxs.map_my)
+    for t in range(0, t_len, max(every, 1)):
+        gt = true_maps[min(t, len(true_maps) - 1)]
+        w = w_all[t]
+        n_est = int(round(float(w.sum())))
+        sel = np.argsort(-w)[: max(n_est, 0)]
+        est = np.stack([mx_all[t][sel], my_all[t][sel]], axis=-1)
+        ospa[t] = ospa_np(gt, est, p=p, c=c)
+    return ospa
+
+
 def run_batch(cfg: SlamConfig, scenario, n_runs: int,
               control_noise=(0.2, 0.01), seed: int = 0,
               out_dir: Optional[str] = None,
-              collect_maps_every: int = 0) -> List[RunResult]:
+              collect_maps_every: int = 1) -> List[RunResult]:
     """Monte-Carlo batch: `n_runs` independent re-noisings of `scenario`
     (a simdata.Scenario), each filtered end-to-end with the shared compiled
-    scan. Returns per-run results; optionally writes metrics JSONL."""
+    scan. Returns per-run results; optionally writes metrics JSONL.
+
+    collect_maps_every=k scores map OSPA (vs the cumulative visited-landmark
+    truth) every k steps; 0 disables map scoring (pose error only)."""
     import jax
     import jax.numpy as jnp
 
@@ -76,6 +115,7 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
 
     results = []
     t_len = scenario.traj.shape[0]
+    true_maps = visited_landmarks(scenario) if collect_maps_every else None
     for run in range(n_runs):
         rng = np.random.default_rng(seed + 1000 * run)
         controls, meas = generate_run(rng, scenario, control_noise)
@@ -88,38 +128,66 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
                           label=jnp.asarray(labels[:t_len]),
                           valid=jnp.asarray(valid[:t_len]))
         t0 = time.time()
-        final, auxs = run_scan(
+        out = run_scan(
             SlamState.create(cfg), jax.random.PRNGKey(seed + run),
             jnp.asarray(ctrl), zs,
-            jnp.full((t_len,), cfg.dt, jnp.float32), cfg, t_len)
+            jnp.full((t_len,), cfg.dt, jnp.float32), cfg, t_len,
+            with_log_state=collect_maps_every > 0)
+        if collect_maps_every:
+            final, (auxs, log_auxs) = out
+        else:
+            final, auxs = out
+            log_auxs = None
         # host fetch is the only reliable sync through the TPU tunnel
         # (block_until_ready is a no-op there -> fictional timings)
         poses = np.asarray(auxs.expected_pose)
         elapsed = time.time() - t0
         pose_err, _ = analyze_run(poses, scenario.traj)
+        if log_auxs is not None:
+            ospa = _map_ospa_curve(log_auxs, true_maps,
+                                   collect_maps_every, t_len)
+        else:
+            ospa = np.full((t_len, 3), np.nan)
         results.append(RunResult(
             poses=poses, pose_err=pose_err,
-            ospa=np.full((t_len, 3), np.nan),
+            ospa=ospa,
             neff=np.asarray(auxs.neff),
             ms_per_step=elapsed / t_len * 1000))
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+            scored = ospa[np.isfinite(ospa[:, 0])]
             with open(os.path.join(out_dir, "batch_metrics.jsonl"),
                       "a") as f:
                 f.write(json.dumps(dict(
                     run=run, mean_pose_err=float(pose_err.mean()),
                     final_pose_err=float(pose_err[-1]),
+                    mean_ospa=float(scored[:, 0].mean())
+                    if scored.size else None,
+                    final_ospa=float(scored[-1, 0])
+                    if scored.size else None,
                     ms_per_step=results[-1].ms_per_step)) + "\n")
     return results
 
 
 def aggregate(results: List[RunResult]):
-    """Mean +- std error envelopes over runs (plot_results.py:21-66)."""
+    """Mean +- std error envelopes over runs (plot_results.py:21-66):
+    pose error plus the OSPA / localization / cardinality error curves."""
     t_len = min(len(r.pose_err) for r in results)
     pe = np.stack([r.pose_err[:t_len] for r in results])
-    return dict(
+    out = dict(
         pose_err_mean=pe.mean(0), pose_err_std=pe.std(0),
         ms_per_step=[r.ms_per_step for r in results])
+    os_ = np.stack([r.ospa[:t_len] for r in results])     # [R, T, 3]
+    if np.isfinite(os_).any():
+        with np.errstate(invalid="ignore"):
+            out.update(
+                ospa_mean=np.nanmean(os_[:, :, 0], 0),
+                ospa_std=np.nanstd(os_[:, :, 0], 0),
+                loc_mean=np.nanmean(os_[:, :, 1], 0),
+                loc_std=np.nanstd(os_[:, :, 1], 0),
+                card_mean=np.nanmean(os_[:, :, 2], 0),
+                card_std=np.nanstd(os_[:, :, 2], 0))
+    return out
 
 
 def analyze_log_dir(log_dir: str, true_traj, true_map=None, p=1.0, c=5.0):

@@ -102,8 +102,9 @@ def render_log_dir(log_dir: str, out_path: str, true_map=None,
 
 
 def plot_error_curves(aggregates, out_path: str, labels=None):
-    """Mean±std pose-error curves over time for one or more batches
-    (python/plot_results.py)."""
+    """Mean±std error envelopes over time for one or more batches
+    (python/plot_results.py:21-66): pose error, plus OSPA / localization /
+    cardinality curves when the batch scored maps."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -111,16 +112,25 @@ def plot_error_curves(aggregates, out_path: str, labels=None):
     if isinstance(aggregates, dict):
         aggregates = [aggregates]
     labels = labels or [f"batch {i}" for i in range(len(aggregates))]
-    fig, ax = plt.subplots(figsize=(8, 4.5))
-    for agg, lab in zip(aggregates, labels):
-        m = agg["pose_err_mean"]
-        s = agg["pose_err_std"]
-        t = np.arange(len(m))
-        ax.plot(t, m, label=lab)
-        ax.fill_between(t, m - s, m + s, alpha=0.25)
-    ax.set_xlabel("time step")
-    ax.set_ylabel("pose error [m]")
-    ax.legend()
+    panels = [("pose_err", "pose error [m]")]
+    if any("ospa_mean" in a for a in aggregates):
+        panels += [("ospa", "OSPA(p=1,c=5)"), ("loc", "localization err"),
+                   ("card", "cardinality err")]
+    fig, axes = plt.subplots(len(panels), 1,
+                             figsize=(8, 3.2 * len(panels)), squeeze=False)
+    for ax, (key, ylab) in zip(axes[:, 0], panels):
+        for agg, lab in zip(aggregates, labels):
+            if f"{key}_mean" not in agg:
+                continue
+            m = agg[f"{key}_mean"]
+            s = agg[f"{key}_std"]
+            t = np.arange(len(m))
+            ok = np.isfinite(m)
+            ax.plot(t[ok], m[ok], label=lab)
+            ax.fill_between(t[ok], (m - s)[ok], (m + s)[ok], alpha=0.25)
+        ax.set_ylabel(ylab)
+        ax.legend()
+    axes[-1, 0].set_xlabel("time step")
     fig.tight_layout()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path, dpi=110)

@@ -337,8 +337,30 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
                           n_measure=n_measure)
 
 
+def _map_world_gaussians(state: DisparityState):
+    """Fit world-frame Gaussians to the MAP particle's feature clouds
+    (host-side numpy): (w [K], mean [K,3], cov [K,3,3])."""
+    import numpy as np
+
+    idx = int(np.argmax(np.asarray(state.log_weights)))
+    w = np.asarray(state.w[idx])
+    sel = w > 0
+    pts = np.stack([np.asarray(state.px[idx]), np.asarray(state.py[idx]),
+                    np.asarray(state.pz[idx])], axis=-1)[sel]  # [K, Npp, 3]
+    if pts.size == 0:
+        return w[sel], np.zeros((0, 3)), np.zeros((0, 3, 3))
+    mean = pts.mean(axis=1)
+    d = pts - mean[:, None]
+    cov = np.einsum("kni,knj->kij", d, d) / max(pts.shape[1] - 1, 1)
+    return w[sel], mean, cov
+
+
 def run_disparity(cfg: SlamConfig, args):
-    """Disparity-pipeline runner (run_disparity, src/main.cpp:1324-1440)."""
+    """Disparity-pipeline runner (run_disparity, src/main.cpp:1324-1440):
+    per-step expected-pose recovery + state_estimate log (pose line is the
+    12-dof camera state, map line the MAP particle's world-frame fitted
+    Gaussians, stride 13), loopTime.log, metrics.jsonl, NaN abort
+    (src/main.cpp:1423-1428)."""
     import os
     import time
 
@@ -366,6 +388,7 @@ def run_disparity(cfg: SlamConfig, args):
     state = state.replace(pose=state.pose.at[:, 3].add(jitter[:, 0])
                           .at[:, 5].add(jitter[:, 1]))
 
+    poses_out = []
     for t in range(n_steps):
         t0 = time.time()
         key, sk = jax.random.split(key)
@@ -375,8 +398,26 @@ def run_disparity(cfg: SlamConfig, args):
         # host fetch is the only reliable sync through the TPU tunnel
         # (block_until_ready is a no-op there -> fictional timings)
         neff_val = float(np.asarray(aux.neff))
-        logs.append_loop_time(out_dir, (time.time() - t0) * 1000)
+        elapsed_ms = (time.time() - t0) * 1000
+        logs.append_loop_time(out_dir, elapsed_ms)
+        exp_pose = np.asarray(aux.expected_pose)
+        poses_out.append(exp_pose)
+        if not getattr(args, "no_logs", False):
+            mw, mmean, mcov = _map_world_gaussians(state)
+            logs.write_state_estimate_log(
+                out_dir, t, exp_pose, mw, mmean, mcov,
+                particle_log_weights=np.asarray(state.log_weights),
+                particle_poses=np.asarray(state.pose),
+                resample_idx=np.asarray(state.resample_idx),
+                max_cardinality=cfg.maxCardinality)
+        logs.append_metrics_jsonl(out_dir, dict(
+            t=t, ms=elapsed_ms, neff=neff_val,
+            n_measure=int(np.asarray(aux.n_measure)),
+            card=float((np.asarray(state.w[0]) > 0).sum())))
+        if np.isnan(neff_val):
+            print("nan weights detected! exiting...")
+            break
         if args.verbose:
-            print(f"step {t}/{n_steps} neff={float(aux.neff):.3f} "
-                  f"pose={np.asarray(aux.expected_pose)[:3]}")
-    return dict(state=state)
+            print(f"step {t}/{n_steps} neff={neff_val:.3f} "
+                  f"pose={exp_pose[:3]}")
+    return dict(state=state, poses=np.asarray(poses_out))

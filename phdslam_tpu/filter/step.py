@@ -36,10 +36,83 @@ class StepAux(NamedTuple):
     log_lik: jax.Array         # scalar: logsumexp of unnormalized weights
 
 
+class LogAux(NamedTuple):
+    """Per-step state needed to write the state_estimate log contract
+    (src/main.cpp:848-954) after a whole-run scan: the MAP particle's map
+    plus the per-particle quantities. Stacked over T by lax.scan; small
+    (O(F + P) per step, the full [P, F] maps never leave the device)."""
+
+    map_w: jax.Array           # [F] MAP particle's static weights
+    map_mx: jax.Array          # [F]
+    map_my: jax.Array          # [F]
+    map_c00: jax.Array         # [F]
+    map_c01: jax.Array         # [F]
+    map_c11: jax.Array         # [F]
+    dyn_w: jax.Array           # [Fd] MAP particle's dynamic weights
+    dyn_mean: jax.Array        # [4, Fd] channels
+    dyn_cov: jax.Array         # [10, Fd] channels
+    log_weights: jax.Array     # [P]
+    poses: jax.Array           # [P, 6]
+    resample_idx: jax.Array    # [P]
+    cardinality: jax.Array     # [Nmax+1] MAP particle's (zeros(1) for PHD)
+
+
+def _log_aux(state: SlamState) -> LogAux:
+    idx = jnp.argmax(state.log_weights)
+    ms, md = state.map_static, state.map_dynamic
+    cn = (jnp.zeros((1,), state.log_weights.dtype)
+          if state.cardinality is None else state.cardinality[idx])
+    return LogAux(
+        map_w=ms.w[idx], map_mx=ms.mx[idx], map_my=ms.my[idx],
+        map_c00=ms.c00[idx], map_c01=ms.c01[idx], map_c11=ms.c11[idx],
+        dyn_w=md.w[idx], dyn_mean=md.mean_channels[idx],
+        dyn_cov=md.cov_channels[idx],
+        log_weights=state.log_weights, poses=state.pose,
+        resample_idx=state.resample_idx, cardinality=cn)
+
+
 def _gather_particles(state: SlamState, idx, new_log_w) -> SlamState:
     take = lambda x: jnp.take(x, idx, axis=0)
     new = jax.tree.map(take, state)
     return new.replace(log_weights=new_log_w, resample_idx=idx)
+
+
+def _run_prediction(state: SlamState, k_pred, control, dt, do_predict,
+                    cfg: SlamConfig) -> SlamState:
+    """Shotgun expansion + (subdivided) pose/map prediction, gated on
+    `do_predict` (src/main.cpp:1244-1254). Shared by slam_step and the
+    standalone predicted_state (save_prediction dumps)."""
+    is_cphd = cfg.filterType == CPHD_TYPE
+
+    def do_pred(st):
+        sub = max(int(cfg.subdividePredict), 1)
+        st = shotgun_expand(st, cfg.nPredictParticles)
+        keys = jax.random.split(k_pred, sub)
+        for i in range(sub):
+            st = predict(keys[i], st, control, cfg, dt / sub)
+        if is_cphd:
+            # cardinality prediction (phdPredict CPHD branch,
+            # src/phdfilter.cu.bak:564-612)
+            from phdslam_tpu.filter import cphd as C
+            st = st.replace(cardinality=C.cardinality_predict(
+                st.cardinality, st.cn_birth))
+        return st
+
+    def no_pred(st):
+        return shotgun_expand(st, cfg.nPredictParticles)
+
+    return jax.lax.cond(do_predict, do_pred, no_pred, state)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def predicted_state(state: SlamState, key, control, dt, do_predict,
+                    cfg: SlamConfig) -> SlamState:
+    """The post-prediction state exactly as slam_step computes it internally
+    (same PRNG key derivation), so save_prediction dumps
+    (writeParticlesMat(particles, n, "particles_predict"),
+    src/main.cpp:1256-1257) match what the update actually consumes."""
+    k_pred, _, _ = jax.random.split(key, 3)
+    return _run_prediction(state, k_pred, control, dt, do_predict, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "with_variance"))
@@ -72,23 +145,7 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
                 valid=jnp.zeros((m,), bool))
 
     # ---- prediction (with sub-step subdivision, src/main.cpp:1248-1254) ----
-    def do_pred(st):
-        sub = max(int(cfg.subdividePredict), 1)
-        st = shotgun_expand(st, cfg.nPredictParticles)
-        keys = jax.random.split(k_pred, sub)
-        for i in range(sub):
-            st = predict(keys[i], st, control, cfg, dt / sub)
-        if is_cphd:
-            # cardinality prediction (phdPredict CPHD branch,
-            # src/phdfilter.cu.bak:564-612)
-            st = st.replace(cardinality=C.cardinality_predict(
-                st.cardinality, st.cn_birth))
-        return st
-
-    def no_pred(st):
-        return shotgun_expand(st, cfg.nPredictParticles)
-
-    state = jax.lax.cond(do_predict, do_pred, no_pred, state)
+    state = _run_prediction(state, k_pred, control, dt, do_predict, cfg)
 
     # ---- CPHD births from the previous measurements ---------------------
     if is_cphd:
@@ -129,8 +186,7 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
         log_lik = jax.scipy.special.logsumexp(lw)
         lw = lw - log_lik
         if with_variance:
-            var = phd_variance(k_var, res, st.pose, st.map_static,
-                               z.rb, z.valid, cfg)
+            var = phd_variance(res, z.valid)
         else:
             var = st.variances
         return st.replace(map_static=res.map_out, log_weights=lw,
@@ -147,6 +203,17 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
 
     # ---- resampling (src/main.cpp:1281-1297) ---------------------------
     n_eff = neff(state.log_weights)
+
+    if cfg.debug:
+        # in-kernel instrumentation analog (cuPrintf around the update,
+        # src/phdfilter.cu:3448,3672; config.debug branches): per-step
+        # normalizer / weight stats, compile-time gated (cfg is static)
+        jax.debug.print(
+            "[debug] log_lik={ll:.6f} neff={ne:.4f} lw[min,max]=[{lo:.4f},"
+            "{hi:.4f}] card0={c0:.2f}",
+            ll=log_lik, ne=n_eff, lo=jnp.min(state.log_weights),
+            hi=jnp.max(state.log_weights),
+            c0=jnp.sum(state.map_static.w[0]))
     p_now = state.pose.shape[0]
     n_target = cfg.n_particles
     if p_now == n_target:
@@ -182,14 +249,17 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
     return state, aux
 
 
-@partial(jax.jit, static_argnames=("cfg", "length"))
+@partial(jax.jit, static_argnames=("cfg", "length", "with_log_state"))
 def run_scan(state: SlamState, key, controls, zs: Measurements, dts,
-             cfg: SlamConfig, length: int):
+             cfg: SlamConfig, length: int, with_log_state: bool = False):
     """Scan `slam_step` over a whole dataset on-device.
 
     controls [T,2]; zs: Measurements with leading [T]; dts [T].
     Step 0 skips prediction like the reference (src/main.cpp:1244-1246).
-    Returns (final_state, stacked StepAux).
+    Returns (final_state, stacked StepAux) — or
+    (final_state, (stacked StepAux, stacked LogAux)) when `with_log_state`,
+    so the runner can write the per-step state_estimate log contract after
+    the scan completes.
     """
     keys = jax.random.split(key, length)
     t_idx = jnp.arange(length)
@@ -202,6 +272,8 @@ def run_scan(state: SlamState, key, controls, zs: Measurements, dts,
         k, ctrl, z, zp, dt, t = inp
         st, aux = slam_step(st, k, (ctrl[0], ctrl[1]), z, dt, t > 0, cfg,
                             z_prev=zp)
+        if with_log_state:
+            return st, (aux, _log_aux(st))
         return st, aux
 
     return jax.lax.scan(body, state,

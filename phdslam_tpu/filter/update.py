@@ -196,6 +196,7 @@ class UpdateResult(NamedTuple):
     w_nondetect: jax.Array       # [P, F]
     w_detect: jax.Array          # [P, M, k1] selected terms
     w_birth: jax.Array           # [P, M]
+    det_mass: jax.Array          # [P, M] total detection mass per z
     pre: PreUpdate               # measurement-independent Kalman terms
 
 
@@ -408,70 +409,41 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
         w_nondetect=w_nondetect,
         w_detect=w_sel * mvalid[None, :, None],
         w_birth=w_birth * mvalid[None, :],
+        det_mass=sum_exp / normalizer * mvalid[None, :],
         pre=pre,
     )
 
 
-def phd_variance(key, result: UpdateResult, pose,
-                 gm_prior: Gaussian2DMixture, z_rb, z_valid,
-                 cfg: SlamConfig):
-    """Monte-Carlo PHD variance estimate per particle
-    (phdVarianceKernel, src/phdfilter.cu:2643-2705).
+def phd_variance(result: UpdateResult, z_valid):
+    """Per-particle variance of the updated map's target count
+    (the role of phdVarianceKernel, src/phdfilter.cu:2643-2705).
 
-    For each of nSamples draws, every update component g contributes
-    val = N(x; g) evaluated at x ~ g: non-detection terms add val,
-    detection/birth terms add val*(1-val); summed over samples & components.
-    Sampling a Gaussian and evaluating *itself* at the sample only depends
-    on its covariance determinant: with x - mu = L u, u ~ N(0, I_2),
-    val = exp(-0.5 |u|^2) / (2 pi sqrt(det P)). So only per-component dets
-    and chi-square draws are needed — no means, no Cholesky.
+    The reference kernel Monte-Carlo-samples each update component and sums
+    val (non-detect) or val*(1-val) (detect/birth) where val is the
+    *density* w*N(x;g) at x ~ g — but its evalGaussian exponentiates a
+    POSITIVE quadratic (src/device_math.cuh:123-127), so its output is
+    numerically meaningless. The statistic it aims for is Mahler's
+    cardinality variance of a GM-PHD posterior, which is weight-based and
+    closed-form:
+
+        Var[N] = sum_nd w  +  sum_{detect,birth} w (1 - w)
+
+    (non-detection legacy stays Poisson -> contributes its mean; each
+    normalized detection/birth term is Bernoulli -> w(1-w)). We compute it
+    exactly — no sampling, no RNG, strictly positive whenever the map is
+    non-empty. The detection sum uses sum_f w(1-w) = mass - sum_f w^2 with
+    the squared tail beyond the stored top-k1 terms dropped (those weights
+    are the smallest; dropping their squares only tightens the bound).
 
     This statistic only feeds the exported logs (particles.variances),
     never the filter, so the step computes it optionally.
     """
-    pre = result.pre
-    P, F = result.w_nondetect.shape
-    M = result.w_birth.shape[1]
-    S = max(int(cfg.nSamples), 1)
     dtype = result.w_nondetect.dtype
-
-    def vals(key, det, comp_shape):
-        u = jax.random.normal(key, comp_shape + (S, 2), dtype)
-        quad = jnp.sum(u * u, axis=-1)
-        return jnp.exp(-0.5 * quad) / (
-            2.0 * jnp.pi * jnp.sqrt(jnp.maximum(det, 1e-38))[..., None])
-
-    k1, k2, k3 = jax.random.split(key, 3)
-    in_mask = pre.rclass == 1                                   # [P,F]
     mvalid = z_valid.astype(dtype)                              # [M]
-
-    # non-detection terms keep the prior covariance
-    det_nd = gm_prior.c00 * gm_prior.c11 - gm_prior.c01 ** 2
-    v_nd = vals(k1, det_nd, (P, F))                             # [P,F,S]
-    var = jnp.sum(jnp.where(in_mask[..., None], v_nd, 0.0), axis=(1, 2))
-
-    # Detection terms share the per-feature updated covariance. The
-    # reference draws independently per (feature, measurement); since the
-    # draws are iid given the covariance, summing over measurements equals
-    # n_measure * E[v(1-v)] in expectation — we reuse one draw set per
-    # feature and scale by the valid-measurement count to bound memory at
-    # [P,F,S] instead of [P,M,F,S].
-    det_up = pre.u00 * pre.u11 - pre.u01 ** 2
-    v_det = vals(k2, det_up, (P, F))                            # [P,F,S]
-    g = v_det * (1.0 - v_det) * in_mask[..., None]
-    var += jnp.sum(mvalid) * jnp.sum(g, axis=(1, 2))
-
-    # birth terms (channelized det of the birth covariance)
-    theta = pose[:, None, 2] + z_rb[None, :, 1]
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-    bdx = z_rb[None, :, 0] * ct
-    bdy = z_rb[None, :, 0] * st
-    var_rb = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
-    var_bb = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
-    b00 = ct * ct * var_rb + bdy * bdy * var_bb
-    b01 = ct * st * var_rb - bdy * bdx * var_bb
-    b11 = st * st * var_rb + bdx * bdx * var_bb
-    v_b = vals(k3, b00 * b11 - b01 * b01, (P, M))               # [P,M,S]
-    gb = v_b * (1.0 - v_b) * mvalid[None, :, None]
-    var += jnp.sum(gb, axis=(1, 2))
+    var = jnp.sum(result.w_nondetect, axis=-1)                  # [P]
+    det_sq = jnp.sum(result.w_detect ** 2, axis=-1)             # [P, M]
+    var += jnp.sum(jnp.maximum(result.det_mass - det_sq, 0.0)
+                   * mvalid[None, :], axis=-1)
+    wb = result.w_birth
+    var += jnp.sum(wb * (1.0 - wb) * mvalid[None, :], axis=-1)
     return var

@@ -127,6 +127,107 @@ def _write_step_log(out_dir, t, state, aux, cfg, eap=False):
         repeat=repeat)
 
 
+def load_truth_maps(path):
+    """Ground-truth landmark locations for in-loop OSPA scoring.
+
+    Accepts the reference's simData .mat (per-step visited-landmark lists,
+    sim.groundTruth[t].loc [2, L_t] — what python/batch_analyze.py:26-33
+    scores against) or a plain text file of 'x y' lines (one static map
+    used for every step). Returns a callable t -> [L, 2] array."""
+    if path.endswith(".mat"):
+        from scipy.io import loadmat
+        sim = loadmat(path)["sim"][0, 0]
+        gt = sim["groundTruth"]
+        maps = [np.asarray(gt[0, t][0, 0]["loc"], np.float64).T
+                for t in range(gt.shape[1])]
+        return lambda t: maps[min(t, len(maps) - 1)]
+    pts = np.loadtxt(path, ndmin=2)[:, :2]
+    return lambda t: pts
+
+
+def _ospa_from_map(w, mx, my, truth_maps, t, p=1.0, c=5.0):
+    """OSPA of one estimated map vs truth, thresholded the batch_analyze
+    way (top round(sum w) weights, python/batch_analyze.py:26-28)."""
+    from phdslam_tpu.ops.ospa import ospa_np
+    n_est = int(round(float(w.sum())))
+    order = np.argsort(w)[::-1][:max(n_est, 0)]
+    est = np.stack([mx[order], my[order]], axis=-1)
+    o, loc, card = ospa_np(est, truth_maps(t), p=p, c=c)
+    return [float(o), float(loc), float(card)]
+
+
+def _step_ospa(state, truth_maps, t):
+    """Per-step OSPA of the MAP-particle map vs truth."""
+    idx = int(np.argmax(np.asarray(state.log_weights)))
+    return _ospa_from_map(np.asarray(state.map_static.w[idx]),
+                          np.asarray(state.map_static.mx[idx]),
+                          np.asarray(state.map_static.my[idx]),
+                          truth_maps, t)
+
+
+def _unpack_cov_channels(ch):
+    """[10, F] row-major upper-triangle channels -> [F, 4, 4] (the packing
+    of Gaussian4DMixture, filter/state.py)."""
+    f = ch.shape[-1]
+    cov = np.zeros((f, 4, 4), ch.dtype)
+    k = 0
+    for i in range(4):
+        for j in range(i, 4):
+            cov[:, i, j] = ch[k]
+            cov[:, j, i] = ch[k]
+            k += 1
+    return cov
+
+
+def _write_scan_logs(out_dir, t_valid, auxs, log_auxs, cfg, ms_per_step,
+                     truth_maps=None):
+    """Write the per-step log contract (state_estimate logs +
+    metrics.jsonl) from the stacked scan outputs, so --mode scan produces
+    the same file set loop mode does. The map estimate is the MAP
+    particle's (EAP would need every particle's map per step on the host)."""
+    la = jax.device_get(log_auxs)
+    poses = np.asarray(auxs.expected_pose)
+    for t in range(t_valid):
+        w = np.asarray(la.map_w[t])
+        sel = w > 0
+        mean = np.stack([np.asarray(la.map_mx[t])[sel],
+                         np.asarray(la.map_my[t])[sel]], axis=-1)
+        cov = np.zeros((sel.sum(), 2, 2), np.float32)
+        cov[:, 0, 0] = np.asarray(la.map_c00[t])[sel]
+        cov[:, 0, 1] = cov[:, 1, 0] = np.asarray(la.map_c01[t])[sel]
+        cov[:, 1, 1] = np.asarray(la.map_c11[t])[sel]
+        dyn_w = dyn_mean = dyn_cov = None
+        if cfg.featureModel != 0 and la.dyn_w.shape[-1] > 0:
+            dw = np.asarray(la.dyn_w[t])
+            dsel = dw > 0
+            dyn_w = dw[dsel]
+            dyn_mean = np.asarray(la.dyn_mean[t]).T[dsel]
+            dyn_cov = _unpack_cov_channels(np.asarray(la.dyn_cov[t]))[dsel]
+        is_cphd = cfg.filterType == CPHD_TYPE
+        logs.write_state_estimate_log(
+            out_dir, t, poses[t],
+            w[sel], mean, cov,
+            dynamic_w=dyn_w, dynamic_mean=dyn_mean, dynamic_cov=dyn_cov,
+            particle_log_weights=np.asarray(la.log_weights[t]),
+            particle_poses=np.asarray(la.poses[t]),
+            resample_idx=np.asarray(la.resample_idx[t]),
+            cardinality=np.asarray(la.cardinality[t]) if is_cphd else None,
+            max_cardinality=cfg.maxCardinality,
+            is_cphd=is_cphd,
+            repeat=cfg.nPredictParticles if t == 0 else 1)
+        metrics = dict(
+            t=t, ms=ms_per_step, neff=float(np.asarray(auxs.neff[t])),
+            n_measure=int(np.asarray(auxs.n_measure[t])),
+            resampled=bool(np.asarray(auxs.resampled[t])),
+            log_lik=float(np.asarray(auxs.log_lik[t])),
+            card=float((w > 0).sum()))
+        if truth_maps is not None:
+            metrics["ospa"] = _ospa_from_map(
+                w, np.asarray(la.map_mx[t]), np.asarray(la.map_my[t]),
+                truth_maps, t)
+        logs.append_metrics_jsonl(out_dir, metrics)
+
+
 def run_synth(cfg: SlamConfig, args) -> dict:
     data_dir = args.data_dir or cfg.dataDirectory
     meas_path = args.measurements or os.path.join(data_dir,
@@ -159,6 +260,12 @@ def run_synth(cfg: SlamConfig, args) -> dict:
 
     out_dir = args.out_dir
     os.makedirs(out_dir, exist_ok=True)
+    truth_maps = (load_truth_maps(args.truth)
+                  if getattr(args, "truth", None) else None)
+    if cfg.debug:
+        # the cuPrintf / DEBUG_MSG analog (SURVEY.md section 5.2): locate
+        # the first NaN-producing primitive instead of propagating it
+        jax.config.update("jax_debug_nans", True)
     state = SlamState.create(cfg)
     key = jax.random.PRNGKey(args.seed)
 
@@ -183,6 +290,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                 z_val[i] = valid[s["z"]]
         zs = Measurements(rb=jnp.asarray(z_rb), label=jnp.asarray(z_lab),
                           valid=jnp.asarray(z_val))
+        log_auxs = None
         if getattr(args, "islands", 0) and args.islands > 1:
             from phdslam_tpu.parallel.island import (island_run_scan,
                                                      make_island_mesh)
@@ -195,19 +303,35 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                                     jnp.asarray(dt_arr))
             poses = np.asarray(auxs.expected_pose)   # fetch == sync
             elapsed = time.time() - t0
+            neffs = np.asarray(auxs.island_neff)
         else:
             t0 = time.time()
             final, auxs = run_scan(state, key, jnp.asarray(ctrl_arr), zs,
-                                   jnp.asarray(dt_arr), cfg, t_len)
+                                   jnp.asarray(dt_arr), cfg, t_len,
+                                   with_log_state=not args.no_logs)
+            if not args.no_logs:
+                auxs, log_auxs = auxs
             # host fetch is the only reliable sync through the TPU tunnel
             poses = np.asarray(auxs.expected_pose)
             elapsed = time.time() - t0
-        for t in range(t_len):
+            neffs = np.asarray(auxs.neff)
+        # NaN abort (src/main.cpp:1307-1311): a scan can't stop mid-run,
+        # but flag the first NaN step and truncate the outputs there
+        nan_steps = np.flatnonzero(~np.isfinite(neffs))
+        t_valid = int(nan_steps[0]) if nan_steps.size else t_len
+        if t_valid < t_len:
+            print(f"nan weights detected at step {t_valid}! "
+                  "truncating outputs...")
+        for t in range(t_valid):
             logs.append_loop_time(out_dir, elapsed / t_len * 1000)
+        if log_auxs is not None:
+            _write_scan_logs(out_dir, t_valid, auxs, log_auxs, cfg,
+                             elapsed / t_len * 1000, truth_maps)
         print(f"scan: {t_len} steps in {elapsed:.3f}s "
               f"({elapsed / t_len * 1000:.2f} ms/step)")
         return dict(state=final, poses=poses, aux=auxs,
-                    ms_per_step=elapsed / t_len * 1000)
+                    ms_per_step=elapsed / t_len * 1000,
+                    nan_step=t_valid if t_valid < t_len else None)
 
     # ---- loop mode ----
     use_islands = getattr(args, "islands", 0) and args.islands > 1
@@ -258,6 +382,16 @@ def run_synth(cfg: SlamConfig, args) -> dict:
                 jnp.asarray(traj[t]), state.pose.shape))
             do_predict = False
 
+        if cfg.savePrediction:
+            # dump the predicted (pre-update) particles, exactly as the
+            # update will consume them (src/main.cpp:1256-1257)
+            from phdslam_tpu.filter.step import predicted_state
+            from phdslam_tpu.io.matdump import write_particles_mat
+            pred = predicted_state(state, sk, ctrl, dt,
+                                   jnp.asarray(do_predict), cfg)
+            write_particles_mat(out_dir, t, jax.device_get(pred),
+                                prefix="particles_predict")
+
         if t == 100 and args.checkpoint:
             with open(os.path.join(out_dir, "state100.pkl"), "wb") as f:
                 pickle.dump(dict(state=jax.device_get(state),
@@ -283,6 +417,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
         else:
             state, aux = slam_step(state, sk, ctrl, z, dt,
                                    jnp.asarray(do_predict), cfg,
+                                   with_variance=args.variance,
                                    z_prev=z_prev)
         z_prev = z
         # host fetch is the only reliable sync through the TPU tunnel
@@ -291,12 +426,15 @@ def run_synth(cfg: SlamConfig, args) -> dict:
         logs.append_loop_time(out_dir, elapsed_ms)
         if not args.no_logs:
             _write_step_log(out_dir, t, state, aux, cfg)
-        logs.append_metrics_jsonl(out_dir, dict(
+        metrics = dict(
             t=t, ms=elapsed_ms, neff=neff_val,
             n_measure=int(aux.n_measure),
             resampled=bool(aux.resampled),
             log_lik=float(aux.log_lik),
-            card=float(jnp.sum(state.map_static.w[0] > 0))))
+            card=float(jnp.sum(state.map_static.w[0] > 0)))
+        if truth_maps is not None:
+            metrics["ospa"] = _step_ospa(state, truth_maps, t)
+        logs.append_metrics_jsonl(out_dir, metrics)
         poses_out.append(np.asarray(aux.expected_pose))
         if args.checkpoint_every and t > 0 and t % args.checkpoint_every == 0:
             from phdslam_tpu import checkpoint as ckpt
@@ -360,6 +498,13 @@ def main(argv=None):
     ap.add_argument("--predict-time", action="store_true",
                     help="additionally time the prediction alone each step "
                          "-> predicttime.log (src/phdfilter.cu:1244-1251)")
+    ap.add_argument("--variance", action="store_true",
+                    help="compute the MC-integrated PHD variance each "
+                         "update (phdVarianceKernel, "
+                         "src/phdfilter.cu:3585-3597)")
+    ap.add_argument("--truth", default=None,
+                    help="ground-truth landmarks (simData .mat or 'x y' "
+                         "text) -> per-step OSPA column in metrics.jsonl")
     ap.add_argument("--islands", type=int, default=0,
                     help="run distributed over N mesh devices with "
                          "island-model (locality-preserving) resampling "

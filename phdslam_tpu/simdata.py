@@ -128,3 +128,131 @@ def write_run_files(directory: str, controls: np.ndarray, meas: List):
         f.write("% velocity\tsteering angle\n")
         for u in controls:
             f.write(f"{u[0]:.6g} {u[1]:.6g}\n")
+
+
+# ---------------------------------------------------------------------------
+# Disparity (monocular SC-PHD) synthetic data
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DisparityScenario:
+    """Ground truth for the disparity pipeline: a 6-DOF camera trajectory
+    and static 3-D world landmarks, with the camera/sensor parameters of
+    the reference's disparity block (cfg/config.cfg:83-97)."""
+
+    landmarks: np.ndarray          # [L, 3] world points
+    traj: np.ndarray               # [T, 12] pose + velocities
+    dt: float = 1.0
+    fx: float = -895.6561
+    fy: float = -891.2656
+    u0: float = 400.0
+    v0: float = 300.0
+    image_width: float = 800.0
+    image_height: float = 600.0
+    std_u: float = 5.0
+    std_v: float = 5.0
+    pd: float = 0.95
+    clutter_rate: float = 5.0
+
+
+def _camera_rotation_np(pose):
+    """Rows of the camera->world rotation, the reference's expanded matrix
+    (src/phdfilter.cu:3906-3914; mirrors models/camera._rotation_terms)."""
+    roll, pitch, yaw = pose[3], pose[4], pose[5]
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    return np.array([
+        [cp * cy, cr * sy + sr * sp * cy, sr * sy - cr * sp * cy],
+        [-cp * sy, cr * cy - sr * sp * sy, sr * cy + cr * sp * sy],
+        [sp, -sr * cp, cr * cp]])
+
+
+def project_to_image_np(points, pose, sc: DisparityScenario):
+    """world -> (u, v) pixel projection + visibility mask (the numpy twin
+    of models.camera.world_to_disparity)."""
+    r = _camera_rotation_np(pose)
+    pc = (points - pose[:3]) @ r          # world -> camera (R^T contract)
+    zc = np.where(np.abs(pc[:, 2]) < 1e-12, 1e-12, pc[:, 2])
+    u = sc.u0 - sc.fx * pc[:, 0] / zc
+    v = sc.v0 - sc.fy * pc[:, 1] / zc
+    d = -sc.fx / zc
+    vis = ((u > 0) & (u < sc.image_width)
+           & (v > 0) & (v < sc.image_height) & (d >= 0))
+    return u, v, vis
+
+
+def make_disparity_scenario(rng: np.random.Generator, n_landmarks: int = 30,
+                            n_steps: int = 100, dt: float = 1.0,
+                            **kw) -> DisparityScenario:
+    """Camera starts at the origin looking along +z (the frustum of the
+    reference's fx<0 convention), drifts with a small constant velocity;
+    landmarks fill the frustum at depths 3-9 m."""
+    sc = DisparityScenario(landmarks=np.zeros((n_landmarks, 3)),
+                           traj=np.zeros((n_steps, 12)), dt=dt, **kw)
+    depth = rng.uniform(3.0, 9.0, n_landmarks)
+    # keep projections inside ~85% of the image over the whole trajectory
+    tx = rng.uniform(-0.32, 0.32, n_landmarks)
+    ty = rng.uniform(-0.24, 0.24, n_landmarks)
+    sc.landmarks = np.stack([depth * tx, depth * ty, depth], axis=1)
+
+    pose = np.zeros(12)
+    pose[6] = 0.004    # vx (camera frame)
+    pose[8] = 0.006    # vz: slow dolly-in
+    pose[11] = 0.0006  # vyaw
+    traj = []
+    for _ in range(n_steps):
+        traj.append(pose.copy())
+        r = _camera_rotation_np(pose)
+        dw = r @ (dt * pose[6:9])
+        pose[:3] += dw
+        pose[3:6] += dt * pose[9:12]
+    sc.traj = np.asarray(traj)
+    return sc
+
+
+def generate_disparity_measurements(rng: np.random.Generator,
+                                    sc: DisparityScenario,
+                                    pose) -> np.ndarray:
+    """(u, v) image measurements for one camera pose: pd-thinned detections
+    with pixel noise + Poisson clutter uniform in the image."""
+    u, v, vis = project_to_image_np(sc.landmarks, pose, sc)
+    det = vis & (rng.uniform(size=vis.shape) < sc.pd)
+    zu = u[det] + rng.normal(0.0, sc.std_u, det.sum())
+    zv = v[det] + rng.normal(0.0, sc.std_v, det.sum())
+    n_clutter = rng.poisson(sc.clutter_rate)
+    cu = rng.uniform(0.0, sc.image_width, n_clutter)
+    cv = rng.uniform(0.0, sc.image_height, n_clutter)
+    z = np.stack([np.concatenate([zu, cu]), np.concatenate([zv, cv])],
+                 axis=1)
+    return z[rng.permutation(len(z))]
+
+
+def generate_disparity_run(rng: np.random.Generator,
+                           sc: DisparityScenario) -> List[np.ndarray]:
+    return [generate_disparity_measurements(rng, sc, sc.traj[k])
+            for k in range(sc.traj.shape[0])]
+
+
+def write_disparity_files(directory: str, sc: DisparityScenario,
+                          meas: List[np.ndarray]):
+    """measurements.txt ((u, v) pairs per line, same container format as
+    the range-bearing files), camera truth traj.txt (12 values per line)
+    and landmarks.txt (x y z per line)."""
+    import os
+    os.makedirs(directory, exist_ok=True)
+    with open(f"{directory}/measurements.txt", "w") as f:
+        f.write("% disparity-pipeline measurements. One time step per "
+                "line, each pair of numbers is a (u, v) pixel "
+                "measurement.\n")
+        for z in meas:
+            f.write(" ".join(f"{x:.6f}" for x in z.reshape(-1)) + " \n")
+    with open(f"{directory}/traj.txt", "w") as f:
+        f.write("% camera ground truth: x y z roll pitch yaw vx vy vz "
+                "vroll vpitch vyaw\n")
+        for p in sc.traj:
+            f.write(" ".join(f"{x:.8g}" for x in p) + "\n")
+    with open(f"{directory}/landmarks.txt", "w") as f:
+        f.write("% world landmarks: x y z\n")
+        for p in sc.landmarks:
+            f.write(" ".join(f"{x:.8g}" for x in p) + "\n")

@@ -83,11 +83,19 @@ def test_batch_harness_and_plots(tiny_cfg, tmp_path):
     assert len(results) == 2
     for r in results:
         assert np.isfinite(r.pose_err).all()
+        # Monte-Carlo OSPA pipeline: map OSPA scored vs cumulative visited
+        # landmarks every step (collect_maps_every default 1)
+        assert np.isfinite(r.ospa).all(), r.ospa
+        assert (r.ospa[:, 0] >= 0).all()
     agg = aggregate(results)
     assert agg["pose_err_mean"].shape == (16,)
+    assert "ospa_mean" in agg and np.isfinite(agg["ospa_mean"]).all()
     out = plot_error_curves(agg, str(tmp_path / "errors.png"))
     assert os.path.exists(out)
     assert os.path.exists(tmp_path / "batch_metrics.jsonl")
+    import json
+    rec = json.loads(open(tmp_path / "batch_metrics.jsonl").readline())
+    assert rec["mean_ospa"] is not None and np.isfinite(rec["mean_ospa"])
 
 
 def test_render_log_frames(tiny_cfg, tmp_path):

@@ -187,3 +187,46 @@ def test_disparity_tracking_stationary_camera(rng):
     pose = np.asarray(aux.expected_pose)
     assert np.all(np.isfinite(pose))
     assert np.linalg.norm(pose[:3]) < 0.05, pose
+
+
+def test_disparity_cli_operational(tmp_path):
+    """The full operational surface: shipped-style cfg + generated dataset
+    -> CLI run -> pose logs + metrics + finite pose error vs truth
+    (VERDICT round 1 item 6)."""
+    import os
+
+    from phdslam_tpu import runner
+    from phdslam_tpu.io.logs import read_state_estimate_log
+    from phdslam_tpu.simdata import (
+        generate_disparity_run, make_disparity_scenario,
+        write_disparity_files)
+
+    rng = np.random.default_rng(3)
+    sc = make_disparity_scenario(rng, n_landmarks=12, n_steps=6,
+                                 clutter_rate=1.0)
+    data_dir = tmp_path / "data"
+    write_disparity_files(str(data_dir), sc, generate_disparity_run(rng, sc))
+
+    base = open("cfg/disparity_synth.cfg").read()
+    base = base.replace("n_particles = 64", "n_particles = 8")
+    base = base.replace("particles_per_feature = 64",
+                        "particles_per_feature = 16")
+    base = base.replace("max_features = 64", "max_features = 16")
+    base = base.replace("max_measurements = 48", "max_measurements = 24")
+    cfg_path = tmp_path / "d.cfg"
+    cfg_path.write_text(base)
+
+    out = tmp_path / "out"
+    res = runner.main([str(cfg_path), "disparity", "--out-dir", str(out),
+                       "--data-dir", str(data_dir)])
+    files = sorted(os.listdir(out))
+    est = [f for f in files if f.startswith("state_estimate")]
+    assert len(est) == 6
+    assert "loopTime.log" in files and "metrics.jsonl" in files
+    for t in range(6):
+        lines = open(out / f"state_estimate{t:05d}.log").read().splitlines()
+        pose = np.fromstring(lines[0], sep=" ")
+        assert pose.shape == (12,) and np.isfinite(pose).all()
+        err = np.linalg.norm(pose[:3] - sc.traj[t, :3])
+        assert err < 2.0, (t, err)
+    assert np.isfinite(res["poses"]).all()
