@@ -219,7 +219,10 @@ def main():
     t_mc = 60 if QUICK else 330
     sc = make_scenario(np.random.default_rng(42), n_landmarks=80,
                        n_steps=t_mc)
-    cfg_mc = load_config("cfg/ackerman_synth.cfg").replace(n_particles=256)
+    # make_scenario trajectories start at the origin; the shipped cfg's
+    # initial pose (0, -15) is for the reference dataset
+    cfg_mc = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=256, y0=0.0)
     os.makedirs("results", exist_ok=True)
     if os.path.exists("results/batch_metrics.jsonl"):
         os.remove("results/batch_metrics.jsonl")
@@ -332,7 +335,8 @@ def main():
     # (b) HLO collective inventory on the 8-virtual-device CPU mesh
     import re as _re
 
-    from phdslam_tpu.parallel.island import island_slam_step
+    from phdslam_tpu.parallel.island import (island_slam_step,
+                                             make_island_mesh)
     from phdslam_tpu.parallel.mesh import (
         make_mesh, replicate_measurements, shard_state, sharded_step)
 
@@ -370,7 +374,7 @@ def main():
                             jnp.asarray(True)).compile().as_text()
         inv_g = collective_inventory(hlo_g)
         cfgi = cfgm.replace(nPredictParticles=1)
-        istep, iinit = island_slam_step(mesh, cfgi)
+        istep, iinit = island_slam_step(make_island_mesh(8), cfgi)
         ist, ilw = iinit()
         hlo_i = istep.lower(ist, ilw, k5, jnp.stack(ctrl5), zm,
                             jnp.float32(1.0),

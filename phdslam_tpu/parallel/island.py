@@ -63,6 +63,25 @@ class IslandAux(NamedTuple):
     log_lik: jax.Array           # scalar global marginal-likelihood incr.
 
 
+class IslandLogAux(NamedTuple):
+    """Per-step state for the state_estimate log contract in island scan
+    mode. Per-island quantities stack on the island axis with NO extra
+    collectives: each island emits its local-argmax particle's map
+    ([n, F] after stacking) and the host picks the globally best island
+    (argmax of best_score) when writing logs."""
+
+    best_score: jax.Array        # [n] island_logw + max local particle lw
+    best_w: jax.Array            # [n, F] that particle's static channels
+    best_mx: jax.Array           # [n, F]
+    best_my: jax.Array           # [n, F]
+    best_c00: jax.Array          # [n, F]
+    best_c01: jax.Array          # [n, F]
+    best_c11: jax.Array          # [n, F]
+    log_weights: jax.Array       # [P] global log weights (island + local)
+    poses: jax.Array             # [P, 6]
+    resample_idx: jax.Array      # [P]
+
+
 def make_island_mesh(n_islands: int) -> Mesh:
     devs = jax.devices()
     if len(devs) < n_islands:
@@ -117,7 +136,8 @@ def _butterfly_round(state: SlamState, island_logw_me, key, stride: int,
 
 
 def island_slam_step(mesh: Mesh, cfg: SlamConfig,
-                     island_resample_thresh: float = 0.5):
+                     island_resample_thresh: float = 0.5,
+                     with_log_state: bool = False):
     """Build the jitted island-model SLAM step over `mesh`.
 
     Returns (step_fn, init_fn):
@@ -153,10 +173,13 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
 
     aux_spec = IslandAux(expected_pose=P(), island_logw=P(AXIS),
                          island_neff=P(), exchanged=P(), log_lik=P())
+    out_specs = (state_spec, P(AXIS), aux_spec)
+    if with_log_state:
+        out_specs = out_specs + (IslandLogAux(*([P(AXIS)] * 10)),)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(state_spec, P(AXIS), P(), P(), zspec, P(), P()),
-             out_specs=(state_spec, P(AXIS), aux_spec),
+             out_specs=out_specs,
              check_vma=False)
     def _step(state, island_logw, key, control, z, dt, do_predict):
         me = jax.lax.axis_index(AXIS)
@@ -200,7 +223,21 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
             island_logw=jnp.reshape(island_logw_me, (1,)),
             island_neff=neff_i, exchanged=trigger,
             log_lik=log_lik_global)
-        return state, jnp.reshape(island_logw_me, (1,)), aux_out
+        outs = (state, jnp.reshape(island_logw_me, (1,)), aux_out)
+        if with_log_state:
+            best = jnp.argmax(state.log_weights)
+            ms = state.map_static
+            la = IslandLogAux(
+                best_score=jnp.reshape(
+                    island_logw_me + state.log_weights[best], (1,)),
+                best_w=ms.w[best][None], best_mx=ms.mx[best][None],
+                best_my=ms.my[best][None], best_c00=ms.c00[best][None],
+                best_c01=ms.c01[best][None], best_c11=ms.c11[best][None],
+                log_weights=island_logw_me + state.log_weights,
+                poses=state.pose,
+                resample_idx=state.resample_idx)
+            outs = outs + (la,)
+        return outs
 
     def init():
         state = SlamState.create(cfg)
@@ -216,15 +253,19 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
 
 
 def island_run_scan(mesh: Mesh, cfg: SlamConfig,
-                    island_resample_thresh: float = 0.5):
+                    island_resample_thresh: float = 0.5,
+                    with_log_state: bool = False):
     """Whole-dataset `lax.scan` over the island step (the distributed analog
     of filter.step.run_scan — one dispatch for the full run).
 
     Returns (run_fn, init_fn):
       run_fn(state, island_logw, key, controls [T,2], zs (leading T),
-             dts [T]) -> (state', island_logw', stacked IslandAux)
+             dts [T]) -> (state', island_logw', stacked IslandAux) — plus a
+      stacked IslandLogAux when `with_log_state` (for the per-step
+      state_estimate log contract).
     """
-    step, init = island_slam_step(mesh, cfg, island_resample_thresh)
+    step, init = island_slam_step(mesh, cfg, island_resample_thresh,
+                                  with_log_state=with_log_state)
 
     @jax.jit
     def run(state, island_logw, key, controls, zs, dts):
@@ -235,11 +276,14 @@ def island_run_scan(mesh: Mesh, cfg: SlamConfig,
         def body(carry, inp):
             st, ilw = carry
             k, ctrl, z, dt, t = inp
-            st, ilw, aux = step(st, ilw, k, ctrl, z, dt, t > 0)
-            return (st, ilw), aux
+            outs = step(st, ilw, k, ctrl, z, dt, t > 0)
+            st, ilw = outs[0], outs[1]
+            return (st, ilw), outs[2:]
 
         (state_f, ilw_f), auxs = jax.lax.scan(
             body, (state, island_logw), (keys, controls, zs, dts, t_idx))
-        return state_f, ilw_f, auxs
+        if with_log_state:
+            return state_f, ilw_f, auxs[0], auxs[1]
+        return state_f, ilw_f, auxs[0]
 
     return run, init

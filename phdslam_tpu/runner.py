@@ -228,6 +228,44 @@ def _write_scan_logs(out_dir, t_valid, auxs, log_auxs, cfg, ms_per_step,
         logs.append_metrics_jsonl(out_dir, metrics)
 
 
+def _write_island_scan_logs(out_dir, t_valid, auxs, la, cfg, ms_per_step,
+                            truth_maps=None):
+    """Log contract for island scan mode: the map line is the globally best
+    particle's map (argmax over islands of island_logw + local max lw);
+    weights/poses/resample lines carry all P particles (global log weights
+    = island + local)."""
+    la = jax.device_get(la)
+    poses = np.asarray(auxs.expected_pose)
+    for t in range(t_valid):
+        isl = int(np.argmax(np.asarray(la.best_score[t])))
+        w = np.asarray(la.best_w[t][isl])
+        sel = w > 0
+        mean = np.stack([np.asarray(la.best_mx[t][isl])[sel],
+                         np.asarray(la.best_my[t][isl])[sel]], axis=-1)
+        cov = np.zeros((sel.sum(), 2, 2), np.float32)
+        cov[:, 0, 0] = np.asarray(la.best_c00[t][isl])[sel]
+        cov[:, 0, 1] = cov[:, 1, 0] = np.asarray(la.best_c01[t][isl])[sel]
+        cov[:, 1, 1] = np.asarray(la.best_c11[t][isl])[sel]
+        logs.write_state_estimate_log(
+            out_dir, t, poses[t], w[sel], mean, cov,
+            particle_log_weights=np.asarray(la.log_weights[t]),
+            particle_poses=np.asarray(la.poses[t]),
+            resample_idx=np.asarray(la.resample_idx[t]),
+            max_cardinality=cfg.maxCardinality,
+            repeat=cfg.nPredictParticles if t == 0 else 1)
+        metrics = dict(
+            t=t, ms=ms_per_step,
+            neff=float(np.asarray(auxs.island_neff[t])),
+            exchanged=bool(np.asarray(auxs.exchanged[t])),
+            log_lik=float(np.asarray(auxs.log_lik[t])),
+            card=float((w > 0).sum()))
+        if truth_maps is not None:
+            metrics["ospa"] = _ospa_from_map(
+                w, np.asarray(la.best_mx[t][isl]),
+                np.asarray(la.best_my[t][isl]), truth_maps, t)
+        logs.append_metrics_jsonl(out_dir, metrics)
+
+
 def run_synth(cfg: SlamConfig, args) -> dict:
     data_dir = args.data_dir or cfg.dataDirectory
     meas_path = args.measurements or os.path.join(data_dir,
@@ -291,16 +329,21 @@ def run_synth(cfg: SlamConfig, args) -> dict:
         zs = Measurements(rb=jnp.asarray(z_rb), label=jnp.asarray(z_lab),
                           valid=jnp.asarray(z_val))
         log_auxs = None
+        island_log_auxs = None
         if getattr(args, "islands", 0) and args.islands > 1:
             from phdslam_tpu.parallel.island import (island_run_scan,
                                                      make_island_mesh)
             imesh = make_island_mesh(args.islands)
-            irun, iinit = island_run_scan(imesh, cfg)
+            irun, iinit = island_run_scan(imesh, cfg,
+                                          with_log_state=not args.no_logs)
             istate, ilw = iinit()
             t0 = time.time()
-            final, ilw, auxs = irun(istate, ilw, key,
-                                    jnp.asarray(ctrl_arr), zs,
-                                    jnp.asarray(dt_arr))
+            out = irun(istate, ilw, key, jnp.asarray(ctrl_arr), zs,
+                       jnp.asarray(dt_arr))
+            if not args.no_logs:
+                final, ilw, auxs, island_log_auxs = out
+            else:
+                final, ilw, auxs = out
             poses = np.asarray(auxs.expected_pose)   # fetch == sync
             elapsed = time.time() - t0
             neffs = np.asarray(auxs.island_neff)
@@ -327,6 +370,10 @@ def run_synth(cfg: SlamConfig, args) -> dict:
         if log_auxs is not None:
             _write_scan_logs(out_dir, t_valid, auxs, log_auxs, cfg,
                              elapsed / t_len * 1000, truth_maps)
+        elif island_log_auxs is not None:
+            _write_island_scan_logs(out_dir, t_valid, auxs,
+                                    island_log_auxs, cfg,
+                                    elapsed / t_len * 1000, truth_maps)
         print(f"scan: {t_len} steps in {elapsed:.3f}s "
               f"({elapsed / t_len * 1000:.2f} ms/step)")
         return dict(state=final, poses=poses, aux=auxs,

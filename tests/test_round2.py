@@ -218,3 +218,26 @@ def test_debug_nan_located():
             np.asarray(aux.neff)
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_island_scan_mode_writes_logs(tiny_run):
+    """Island scan mode must produce the same log-file set plain scan mode
+    does (round-1 gap: islands scan wrote only loopTime.log)."""
+    cfg, meas, ctrl, tmp = tiny_run
+    out = tmp / "island_scan"
+    truth = tmp / "truth_i.txt"
+    truth.write_text("1.0 2.0\n4.0 -1.0\n")
+    runner.main([str(cfg), "synth", "--mode", "scan", "--islands", "4",
+                 "--out-dir", str(out), "--measurements", str(meas),
+                 "--controls", str(ctrl), "--truth", str(truth)])
+    files = sorted(os.listdir(out))
+    est = [f for f in files if f.startswith("state_estimate")]
+    assert len(est) == 6
+    assert "metrics.jsonl" in files
+    d = read_state_estimate_log(str(out / est[-1]))
+    assert d["pose"].shape == (6,) and np.isfinite(d["pose"]).all()
+    assert d["weights"].shape == (8,)        # all P particles, global lw
+    # global log weights must be normalized (sum exp == 1)
+    assert abs(np.exp(d["weights"]).sum() - 1.0) < 1e-3
+    recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert all("ospa" in r for r in recs)
