@@ -219,10 +219,8 @@ def main():
     t_mc = 60 if QUICK else 330
     sc = make_scenario(np.random.default_rng(42), n_landmarks=80,
                        n_steps=t_mc)
-    # make_scenario trajectories start at the origin; the shipped cfg's
-    # initial pose (0, -15) is for the reference dataset
-    cfg_mc = load_config("cfg/ackerman_synth.cfg").replace(
-        n_particles=256, y0=0.0)
+    # run_batch aligns the initial pose with the scenario start itself
+    cfg_mc = load_config("cfg/ackerman_synth.cfg").replace(n_particles=256)
     os.makedirs("results", exist_ok=True)
     if os.path.exists("results/batch_metrics.jsonl"):
         os.remove("results/batch_metrics.jsonl")

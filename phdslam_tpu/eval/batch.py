@@ -115,6 +115,10 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
 
     results = []
     t_len = scenario.traj.shape[0]
+    # particles must start where the scenario's trajectory starts
+    cfg = cfg.replace(x0=float(scenario.traj[0, 0]),
+                      y0=float(scenario.traj[0, 1]),
+                      yaw0=float(scenario.traj[0, 2]))
     true_maps = visited_landmarks(scenario) if collect_maps_every else None
     for run in range(n_runs):
         rng = np.random.default_rng(seed + 1000 * run)

@@ -61,18 +61,19 @@ def make_scenario(rng: np.random.Generator, n_landmarks: int = 80,
     sc = Scenario(landmarks=landmarks,
                   traj=np.zeros((n_steps + 1, 3)),
                   controls_true=np.zeros((n_steps, 2)), dt=dt, **sensor_kw)
-    state = np.zeros(3)
+    state = np.array([0.0, -map_extent * 0.55, 0.0])
     traj = [state]
     controls = []
-    v = 0.0
+    v = 1.5
     for t in range(n_steps):
-        v = np.clip(v + rng.normal(0.0, 0.3), 0.5, 3.0)
-        alpha = 0.35 * np.sin(t / 25.0) + rng.normal(0.0, 0.02)
+        # looping trajectory (radius ~ l/tan(alpha) = 11 m) with a gentle
+        # serpentine: landmarks get revisited every lap, so SLAM drift is
+        # bounded by loop closure — like the hand-driven closed courses of
+        # matlab/generateAckermanTrajectory.m
+        v = float(np.clip(v + rng.normal(0.0, 0.1), 1.0, 2.0))
+        alpha = 0.24 + 0.05 * np.sin(t / 20.0) + rng.normal(0.0, 0.01)
         u = np.array([v, alpha])
         state = ackerman_step_np(state, u, dt, sc.l, sc.h, sc.a, sc.b)
-        # keep the vehicle inside the map: steer back when escaping
-        if np.linalg.norm(state[:2]) > map_extent * 0.9:
-            alpha = 0.3
         controls.append(u)
         traj.append(state)
     sc.traj = np.asarray(traj)
