@@ -146,6 +146,65 @@ def esf_deleted(log_lambda):
     return jax.vmap(one, out_axes=-2)(jnp.arange(m))
 
 
+def _conv_log(a, b):
+    """Log-domain polynomial product: out_k = lse_i(a_i + b_{k-i}).
+
+    a [..., La], b [..., Lb] -> [..., La+Lb-1]. Fully parallel (no scan)."""
+    la, lb = a.shape[-1], b.shape[-1]
+    kk = jnp.arange(la + lb - 1)[:, None]               # [K, 1]
+    ii = jnp.arange(la)[None, :]                        # [1, La]
+    jj = kk - ii                                        # [K, La]
+    valid = (jj >= 0) & (jj < lb)
+    bj = jnp.take(b, jnp.clip(jj, 0, lb - 1), axis=-1)  # [..., K, La]
+    terms = jnp.where(valid, a[..., None, :] + bj, NEG_INF)
+    return jax.scipy.special.logsumexp(terms, axis=-1)  # [..., K]
+
+
+def esf_all(log_lambda):
+    """Full and per-measurement-deleted log-ESFs by divide and conquer.
+
+    Returns (esf [..., M+1], esfd [..., M, M]) == (esf_log(ll),
+    esf_deleted(ll)) but with O(log M) sequential depth instead of the
+    O(M)-step scan (and O(M) scans for the deleted sets): the TPU runs the
+    per-level convolutions as wide parallel work instead of M tiny
+    dependent steps. Up-sweep: pairwise log-polynomial products up a binary
+    tree; down-sweep: each node's complement polynomial = parent complement
+    x sibling, so every leaf ends with the ESF of all OTHER measurements
+    (the prefix-suffix product trick). M is padded to a power of two with
+    -inf entries (unit polynomials), which drop out exactly.
+    """
+    m = log_lambda.shape[-1]
+    mp = 1
+    while mp < m:
+        mp *= 2
+    batch = log_lambda.shape[:-1]
+    ll = jnp.concatenate(
+        [log_lambda,
+         jnp.full(batch + (mp - m,), NEG_INF, log_lambda.dtype)], axis=-1) \
+        if mp != m else log_lambda
+
+    # up-sweep: levels[k] holds [..., mp/2^k, 2^k + 1] node polynomials
+    zeros = jnp.zeros(batch + (mp, 1), ll.dtype)
+    levels = [jnp.concatenate([zeros, ll[..., None]], axis=-1)]
+    cur = levels[0]
+    while cur.shape[-2] > 1:
+        cur = _conv_log(cur[..., 0::2, :], cur[..., 1::2, :])
+        levels.append(cur)
+    esf_full = cur[..., 0, :]                           # [..., mp+1]
+
+    # down-sweep: comp[node] = esf of everything outside the node's subtree
+    comp = jnp.zeros(batch + (1, 1), ll.dtype)          # root: unit poly
+    for lv in range(len(levels) - 2, -1, -1):
+        nodes = levels[lv]                              # [..., n, L]
+        left, right = nodes[..., 0::2, :], nodes[..., 1::2, :]
+        comp_left = _conv_log(comp, right)
+        comp_right = _conv_log(comp, left)
+        comp = jnp.stack([comp_left, comp_right], axis=-2) \
+            .reshape(batch + (nodes.shape[-2], comp_left.shape[-1]))
+    # comp is [..., mp, mp]: leaf m's complement = esf without m
+    return esf_full[..., : m + 1], comp[..., :m, :m]
+
+
 class CphdUpdateTerms(NamedTuple):
     cn_update: jax.Array          # [P, N+1] posterior cardinality (log)
     log_lik: jax.Array            # [P] <Psi0, cn> particle weight increment
@@ -174,8 +233,9 @@ def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
                   - safe_log(jnp.asarray(cfg.clutterDensity)))
     log_lambda = jnp.where(z_valid[None, :], log_lambda, NEG_INF)
 
-    esf = esf_log(log_lambda)                                   # [P, M+1]
-    esfd = esf_deleted(log_lambda)                              # [P, M, M]
+    # full + per-deleted ESFs in one O(log M)-depth tree pass (the
+    # scan/vmap forms esf_log/esf_deleted are kept as the parity oracle)
+    esf, esfd = esf_all(log_lambda)                # [P, M+1], [P, M, M]
 
     # Inner products <q_D, w> and <1, w> (log). The reference's form
     # multiplies (n-j)*log<qd,w> and subtracts n*log<1,w> — with LOG0

@@ -61,7 +61,7 @@ def make_scenario(rng: np.random.Generator, n_landmarks: int = 80,
     sc = Scenario(landmarks=landmarks,
                   traj=np.zeros((n_steps + 1, 3)),
                   controls_true=np.zeros((n_steps, 2)), dt=dt, **sensor_kw)
-    state = np.array([0.0, -map_extent * 0.55, 0.0])
+    state = np.zeros(3)
     traj = [state]
     controls = []
     v = 1.5

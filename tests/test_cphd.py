@@ -126,6 +126,9 @@ def test_cphd_e2e_tracking(cphd_cfg):
     cfg = cphd_cfg.replace(stdEncoder=0.05, stdAlpha=0.005)
     rng = np.random.default_rng(11)
     sc = make_scenario(rng, n_landmarks=12, n_steps=40, clutter_rate=2.0)
+    # particles must start where the scenario trajectory starts
+    cfg = cfg.replace(x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
+                      yaw0=float(sc.traj[0, 2]))
     controls, meas = generate_run(np.random.default_rng(12), sc,
                                   control_noise=(0.05, 0.005))
     sets = [MeasurementSet(z[:, 0], z[:, 1], np.zeros(len(z), np.int32))
@@ -242,3 +245,25 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
     np.testing.assert_allclose(pmf, post, atol=5e-6)
     mean_card = (pmf * np.arange(ncard)).sum()
     assert abs(mean_card - n_true) < 0.5, mean_card
+
+
+def test_esf_all_matches_scan_oracle(rng):
+    """The D&C tree ESF (esf_all) must match the scan build-up esf_log and
+    the per-deleted rebuild esf_deleted exactly (float32), including -inf
+    (padded-slot) patterns."""
+    for p, m in ((4, 7), (3, 16), (2, 1), (5, 8)):
+        ll = jnp.asarray(rng.uniform(-8.0, 4.0, (p, m)).astype(np.float32))
+        if m > 2:
+            ll = ll.at[:, -2].set(-jnp.inf)
+        e_ref = C.esf_log(ll)
+        d_ref = C.esf_deleted(ll)
+        e_new, d_new = C.esf_all(ll)
+        assert e_new.shape == e_ref.shape and d_new.shape == d_ref.shape
+        assert bool(jnp.all(jnp.isfinite(e_ref) == jnp.isfinite(e_new)))
+        assert bool(jnp.all(jnp.isfinite(d_ref) == jnp.isfinite(d_new)))
+        fin_e = jnp.isfinite(e_ref)
+        fin_d = jnp.isfinite(d_ref)
+        assert float(jnp.max(jnp.abs(jnp.where(
+            fin_e, e_ref - e_new, 0.0)))) < 1e-3
+        assert float(jnp.max(jnp.abs(jnp.where(
+            fin_d, d_ref - d_new, 0.0)))) < 1e-3
