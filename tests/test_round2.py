@@ -241,3 +241,35 @@ def test_island_scan_mode_writes_logs(tiny_run):
     assert abs(np.exp(d["weights"]).sum() - 1.0) < 1e-3
     recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
     assert all("ospa" in r for r in recs)
+
+
+def test_follow_trajectory_mode(tiny_run):
+    """follow_trajectory=1 pins a single particle to traj.txt
+    (src/main.cpp:1121-1127, 1239-1243)."""
+    cfg, meas, ctrl, tmp = tiny_run
+    text = open(cfg).read() + "\nfollow_trajectory = 1\n"
+    cfg2 = tmp / "ft.cfg"
+    cfg2.write_text(text)
+    traj = tmp / "traj.txt"
+    rows = [f"{0.5*t} {0.25*t} 0.1 0 0 0" for t in range(6)]
+    traj.write_text("% traj\n" + "\n".join(rows) + "\n")
+    out = tmp / "ft_out"
+    runner.main([str(cfg2), "synth", "--out-dir", str(out),
+                 "--measurements", str(meas), "--controls", str(ctrl),
+                 "--data-dir", str(tmp)])
+    for t in range(6):
+        d = read_state_estimate_log(str(out / f"state_estimate{t:05d}.log"))
+        assert d["poses"].shape[0] == 1          # forced single particle
+        assert abs(d["pose"][0] - 0.5 * t) < 1e-4, (t, d["pose"])
+        assert abs(d["pose"][1] - 0.25 * t) < 1e-4
+
+
+def test_predict_time_flag(tiny_run):
+    cfg, meas, ctrl, tmp = tiny_run
+    out = tmp / "pt_out"
+    runner.main([str(cfg), "synth", "--out-dir", str(out),
+                 "--measurements", str(meas), "--controls", str(ctrl),
+                 "--predict-time"])
+    times = np.loadtxt(out / "predicttime.log")
+    assert times.size == 5      # steps 1..5 (no predict at t=0)
+    assert (np.atleast_1d(times) >= 0).all()
