@@ -288,24 +288,33 @@ def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
     ip0 = jax.scipy.special.logsumexp(psi0 + cn_predict, axis=-1)   # [P]
     ip1 = jax.scipy.special.logsumexp(psi1 + cn_predict, axis=-1)
 
-    # Psi1 deleted terms: esf -> esfd[m], clutter/factorial args use m-1-j
+    # Psi1 deleted terms: esf -> esfd[m], clutter/factorial args use m-1-j.
+    # Only ip1d = <Psi1d_m, cn> is needed (the [P,M] detection scales), and
+    # the (n, j) factor is independent of WHICH measurement is deleted —
+    # reduce over n first:
+    #   C[p,j] = lse_n( cn[p,n] + perm(n, j+1) + (n-j-1) log_ratio[p] )
+    #   ip1d[p,m] = lse_j( esfd_norm[p,m,j] + lf[m'-1-j] + cnc[m'-1-j]
+    #                      + C[p,j] - log_wsum[p] )
+    # This is an exact reassociation of lse_n(cn + lse_j(...)) that shrinks
+    # the working set from [P,M,N+1,M] (1 GB at the CPHD baseline config)
+    # to [P,N+1,M] + [P,M,M].
     mj1 = jnp.clip(m_count - 1 - j_idx[:M], 0, ncard - 1)       # [M]
     j1_ok = j_idx[:M] <= jnp.maximum(m_count - 1, 0)
     a1 = j_idx[:M] + 1
     a1_c = jnp.clip(a1, 0, ncard - 1)
     perm1 = lbin[n_idx[:, None], a1_c[None, :]] + lf[a1_c][None, :]
-    valid1 = j1_ok[None, :] & (a1[None, :] <= n_idx[:, None])   # [N+1,M]
+    valid_nj = a1[None, :] <= n_idx[:, None]                    # [N+1,M]
+    pow1 = ((n_idx[None, :, None] - a1[None, None, :])
+            * log_ratio[:, None, None])                        # [P,N+1,M]
+    cterm = (cn_predict[:, :, None]
+             + jnp.where(valid_nj, perm1, 0.0)[None] + pow1)
+    cterm = jnp.where(valid_nj[None], cterm, NEG_INF)
+    c_pj = jax.scipy.special.logsumexp(cterm, axis=1)           # [P,M]
     esfd_norm = esfd - j_idx[None, None, :M] * log_wsum[:, None, None]
-    aux1 = (lf[mj1] + cn_clut[mj1])[None, None, None, :] \
-        + esfd_norm[:, :, None, :]                              # [P,M,1,Mj]
-    pow1 = ((n_idx[None, None, :, None] - a1[None, None, None, :])
-            * log_ratio[:, None, None, None])
-    terms1 = (aux1 + jnp.where(valid1, perm1, 0.0)[None, None] + pow1
-              - log_wsum[:, None, None, None])
-    terms1 = jnp.where(valid1[None, None], terms1, NEG_INF)
-    psi1d = jax.scipy.special.logsumexp(terms1, axis=-1)        # [P,M,N+1]
-    ip1d = jax.scipy.special.logsumexp(
-        psi1d + cn_predict[:, None, :], axis=-1)                # [P,M]
+    d_term = (esfd_norm + (lf[mj1] + cn_clut[mj1])[None, None, :]
+              + c_pj[:, None, :] - log_wsum[:, None, None])     # [P,M,Mj]
+    d_term = jnp.where(j1_ok[None, None, :], d_term, NEG_INF)
+    ip1d = jax.scipy.special.logsumexp(d_term, axis=-1)         # [P,M]
 
     cn_update = cn_predict + psi0 - ip0[:, None]
 
