@@ -374,9 +374,10 @@ def main():
         cfgi = cfgm.replace(nPredictParticles=1)
         istep, iinit = island_slam_step(make_island_mesh(8), cfgi)
         ist, ilw = iinit()
-        hlo_i = istep.lower(ist, ilw, k5, jnp.stack(ctrl5), zm,
-                            jnp.float32(1.0),
-                            jnp.asarray(True)).compile().as_text()
+        zprev_m = jax.tree.map(jnp.zeros_like, zm)
+        hlo_i = istep.jitted.lower(ist, ilw, k5, jnp.stack(ctrl5), zm,
+                                   zprev_m, jnp.float32(1.0),
+                                   jnp.asarray(True)).compile().as_text()
         inv_i = collective_inventory(hlo_i)
         results["hlo_collectives"] = dict(global_path=inv_g,
                                           island_path=inv_i)

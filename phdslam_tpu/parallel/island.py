@@ -178,16 +178,18 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
         out_specs = out_specs + (IslandLogAux(*([P(AXIS)] * 10)),)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(state_spec, P(AXIS), P(), P(), zspec, P(), P()),
+             in_specs=(state_spec, P(AXIS), P(), P(), zspec, zspec, P(),
+                       P()),
              out_specs=out_specs,
              check_vma=False)
-    def _step(state, island_logw, key, control, z, dt, do_predict):
+    def _step(state, island_logw, key, control, z, z_prev, dt, do_predict):
         me = jax.lax.axis_index(AXIS)
         island_logw_me = island_logw[0]                       # [1] shard
         k_step, k_ex = jax.random.split(jax.random.fold_in(key, me))
 
         state, aux = slam_step(state, k_step, (control[0], control[1]),
-                               z, dt, do_predict, cfg_local)
+                               z, dt, do_predict, cfg_local,
+                               z_prev=z_prev)
         # the local normalizer IS the island's likelihood increment
         island_logw_me = island_logw_me + aux.log_lik
 
@@ -248,7 +250,18 @@ def island_slam_step(mesh: Mesh, cfg: SlamConfig,
             jnp.full((n,), -jnp.log(float(n)), jnp.float32), shard)
         return state, island_logw
 
-    step = jax.jit(_step, donate_argnums=(0,))
+    jit_step = jax.jit(_step, donate_argnums=(0,))
+
+    def step(state, island_logw, key, control, z, dt, do_predict,
+             z_prev=None):
+        if z_prev is None:
+            # empty previous measurement set (CPHD births come from
+            # z_prev; all-invalid == none)
+            z_prev = jax.tree.map(jnp.zeros_like, z)
+        return jit_step(state, island_logw, key, control, z, z_prev, dt,
+                        do_predict)
+
+    step.jitted = jit_step   # for .lower() / HLO inspection (tests)
     return step, init
 
 
@@ -272,16 +285,21 @@ def island_run_scan(mesh: Mesh, cfg: SlamConfig,
         length = controls.shape[0]
         keys = jax.random.split(key, length)
         t_idx = jnp.arange(length)
+        # previous-step measurements (CPHD births): shift by one
+        zs_prev = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [jnp.zeros_like(x[:1]), x[:-1]], axis=0), zs)
 
         def body(carry, inp):
             st, ilw = carry
-            k, ctrl, z, dt, t = inp
-            outs = step(st, ilw, k, ctrl, z, dt, t > 0)
+            k, ctrl, z, zp, dt, t = inp
+            outs = step(st, ilw, k, ctrl, z, dt, t > 0, z_prev=zp)
             st, ilw = outs[0], outs[1]
             return (st, ilw), outs[2:]
 
         (state_f, ilw_f), auxs = jax.lax.scan(
-            body, (state, island_logw), (keys, controls, zs, dts, t_idx))
+            body, (state, island_logw),
+            (keys, controls, zs, zs_prev, dts, t_idx))
         if with_log_state:
             return state_f, ilw_f, auxs[0], auxs[1]
         return state_f, ilw_f, auxs[0]

@@ -383,9 +383,6 @@ def run_synth(cfg: SlamConfig, args) -> dict:
     # ---- loop mode ----
     use_islands = getattr(args, "islands", 0) and args.islands > 1
     if use_islands:
-        if cfg.filterType != 0:
-            raise SystemExit("--islands supports the PHD filter only "
-                             "(CPHD needs z_prev birth threading)")
         from phdslam_tpu.parallel.island import (island_slam_step,
                                                  make_island_mesh)
         imesh = make_island_mesh(args.islands)
@@ -456,7 +453,7 @@ def run_synth(cfg: SlamConfig, args) -> dict:
             from phdslam_tpu.filter.step import StepAux
             state, island_logw, iaux = island_step(
                 state, island_logw, sk, jnp.stack(ctrl), z, dt,
-                jnp.asarray(do_predict))
+                jnp.asarray(do_predict), z_prev=z_prev)
             aux = StepAux(expected_pose=iaux.expected_pose,
                           neff=iaux.island_neff,
                           resampled=iaux.exchanged,

@@ -66,12 +66,19 @@ def test_cli_scan_mode(tiny_run):
     assert os.path.exists(out / "loopTime.log")
 
 
-def test_cli_rejects_islands_for_cphd(tiny_run):
+def test_cli_islands_cphd(tiny_run):
+    """CPHD now runs in island mode (z_prev birth threading through the
+    shard_map step)."""
     cfg, meas, ctrl, tmp = tiny_run
     text = open(cfg).read().replace("filter_type = 0", "filter_type = 1")
+    text += "\nmax_cardinality = 31\n"
     cfg2 = tmp / "cphd.cfg"
     cfg2.write_text(text)
-    with pytest.raises(SystemExit):
-        _run([str(cfg2), "synth", "--out-dir", str(tmp / "x"),
-              "--measurements", str(meas), "--controls", str(ctrl),
-              "--islands", "4"])
+    out = tmp / "cphd_islands"
+    _run([str(cfg2), "synth", "--out-dir", str(out),
+          "--measurements", str(meas), "--controls", str(ctrl),
+          "--islands", "4"])
+    import json
+    recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert len(recs) == 6
+    assert all(np.isfinite(r["neff"]) for r in recs)

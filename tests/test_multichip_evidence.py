@@ -127,8 +127,9 @@ def test_island_path_hlo_moves_only_shard_sized_data(imesh8):
     istep, iinit = island_slam_step(imesh8, cfg)
     istate, ilw = iinit()
     state, key, ctrl, z, dt, dop = _example(cfg)
-    compiled = istep.lower(istate, ilw, key, jnp.stack(ctrl), z, dt,
-                           dop).compile()
+    z_prev = jax.tree.map(jnp.zeros_like, z)
+    compiled = istep.jitted.lower(istate, ilw, key, jnp.stack(ctrl), z,
+                                  z_prev, dt, dop).compile()
     hlo = compiled.as_text()
 
     colls = _collective_lines(hlo)
