@@ -97,12 +97,25 @@ def main():
     from phdslam_tpu.utils import ensure_backend
     ensure_backend()
 
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        # The experimental tunnel's registration is per-process and flaps
+        # for long stretches; a fresh process is the only retry that works.
+        # Re-exec (bounded) so the driver's benchmark lands on the real
+        # chip instead of silently recording the CPU fallback.
+        tries = int(os.environ.get("BENCH_TPU_RETRIES", "12"))
+        if tries > 0:
+            print(f"tpu backend unavailable; re-exec retry "
+                  f"({tries} attempts left)", file=sys.stderr)
+            time.sleep(50)
+            env = dict(os.environ, BENCH_TPU_RETRIES=str(tries - 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
     stress = load_config("cfg/ackerman_synth.cfg").replace(
         n_particles=8192, maxFeatures=512, maxMeasurements=64,
         y0=0.0, birthWeight=1e-3, clutterRate=50.0)
 
     quick = "--quick" in sys.argv
-    import jax
     if jax.default_backend() not in ("tpu", "axon"):
         # tunnel down -> CPU fallback; run the small config so the driver
         # still gets a line in bounded time, and say so in the metric name
