@@ -48,7 +48,8 @@ def _pad_rows(arrs, tile_p):
 
 def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
             ow_ref, omx_ref, omy_ref, o00_ref, o01_ref, o11_ref,
-            *, cap: int, min_separation: float, metric: int):
+            *, cap: int, min_separation: float, metric: int,
+            block: int):
     tp, K = w_ref.shape
     mx = mx_ref[:, :]
     my = my_ref[:, :]
@@ -68,8 +69,10 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
     o01_ref[:, :] = zeros_out
     o11_ref[:, :] = ones_out
 
-    def body(carry):
-        i, w_rem = carry
+    def one_pick(w_rem):
+        """One greedy pick + moment-matched merge; returns the remaining
+        weights and this pick's output channel values ([tp] each). Rows
+        whose weights are exhausted produce zeros (the pre-fill values)."""
         mval = jnp.max(w_rem, axis=1)                        # [tp]
         hit = w_rem == mval[:, None]
         first = jnp.min(jnp.where(hit, iota, K), axis=1)
@@ -115,14 +118,36 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         n00 = jnp.sum(sw * (c00 + ddx * ddx), axis=1) * inv
         n01 = jnp.sum(sw * (c01 + ddx * ddy), axis=1) * inv
         n11 = jnp.sum(sw * (c11 + ddy * ddy), axis=1) * inv
-        ow_ref[i, :] = wsum
-        omx_ref[i, :] = mux
-        omy_ref[i, :] = muy
-        # empty rows keep the identity covariance of the pre-fill
-        o00_ref[i, :] = jnp.where(wsum > 0.0, n00, 1.0)
-        o01_ref[i, :] = n01
-        o11_ref[i, :] = jnp.where(wsum > 0.0, n11, 1.0)
-        return i + 1, jnp.where(sel, 0.0, w_rem)
+        vals = (wsum, mux, muy,
+                # empty rows keep the identity covariance of the pre-fill
+                jnp.where(wsum > 0.0, n00, 1.0), n01,
+                jnp.where(wsum > 0.0, n11, 1.0))
+        return jnp.where(sel, 0.0, w_rem), vals
+
+    # `block` greedy picks per while iteration, stored as ONE tile-aligned
+    # [block, tp] slab per channel. Two wins over one dynamic row-store per
+    # pick: (a) the loop-carried cond overhead is paid block x less often,
+    # (b) a dynamic store at a single major-axis row is sublane-unaligned
+    # and lowers to a masked whole-buffer update whose cost SCALES WITH
+    # cap (measured: cap=512 ran 2.7x slower than cap=128 at identical
+    # trip counts); slab stores at block-aligned offsets are plain copies.
+    # Sequential-greedy semantics are unchanged: each pick sees the
+    # previous picks' zeroed weights. Callers pick block | cap.
+    def body(carry):
+        i, w_rem = carry
+        outs = []
+        for _b in range(block):
+            w_rem, vals = one_pick(w_rem)
+            outs.append(vals)
+        slabs = [jnp.stack([o[k] for o in outs], axis=0)
+                 for k in range(6)]                          # [block, tp]
+        ow_ref[pl.ds(i, block), :] = slabs[0]
+        omx_ref[pl.ds(i, block), :] = slabs[1]
+        omy_ref[pl.ds(i, block), :] = slabs[2]
+        o00_ref[pl.ds(i, block), :] = slabs[3]
+        o01_ref[pl.ds(i, block), :] = slabs[4]
+        o11_ref[pl.ds(i, block), :] = slabs[5]
+        return i + block, w_rem
 
     def cond(carry):
         i, w_rem = carry
@@ -150,10 +175,11 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
+    block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, cap=max_out,
                           min_separation=float(min_separation),
-                          metric=int(metric)),
+                          metric=int(metric), block=block),
         grid=(P // tile_p,),
         in_specs=[chan] * 6,
         out_specs=(out,) * 6,
@@ -176,7 +202,7 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
              ow_ref, om0_ref, om1_ref, om2_ref, om3_ref,
              oc0_ref, oc1_ref, oc2_ref, oc3_ref, oc4_ref, oc5_ref,
              oc6_ref, oc7_ref, oc8_ref, oc9_ref,
-             *, cap: int, min_separation: float):
+             *, cap: int, min_separation: float, block: int):
     """4-D variant (dynamic maps): symmetric 4x4 covariances as 10 scalar
     channels ordered (00,01,02,03,11,12,13,22,23,33); Mahalanobis via the
     channelized Cholesky of filter/update4.py::chol4_solve_sq."""
@@ -203,8 +229,7 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
     S = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3, (1, 1): 4,
          (1, 2): 5, (1, 3): 6, (2, 2): 7, (2, 3): 8, (3, 3): 9}
 
-    def body(carry):
-        i, w_rem = carry
+    def one_pick(w_rem):
         mval = jnp.max(w_rem, axis=1)
         hit = w_rem == mval[:, None]
         first = jnp.min(jnp.where(hit, iota, K), axis=1)
@@ -237,9 +262,7 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
         inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
         mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
         dd = [mu[k][:, None] - means[k] for k in range(4)]
-        ow_ref[i, :] = wsum
-        for k in range(4):
-            m_out[k][i, :] = mu[k]
+        vals = [wsum] + mu
         ci = 0
         for aa in range(4):
             for bb in range(aa, 4):
@@ -247,9 +270,23 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
                              axis=1) * inv
                 if aa == bb:
                     nc = jnp.where(wsum > 0.0, nc, 1.0)
-                c_out[ci][i, :] = nc
+                vals.append(nc)
                 ci += 1
-        return i + 1, jnp.where(sel, 0.0, w_rem)
+        return jnp.where(sel, 0.0, w_rem), vals
+
+    refs = [ow_ref] + m_out + c_out
+
+    # block picks per iteration + tile-aligned slab stores (see _kernel)
+    def body(carry):
+        i, w_rem = carry
+        outs = []
+        for _b in range(block):
+            w_rem, vals = one_pick(w_rem)
+            outs.append(vals)
+        for k, ref in enumerate(refs):
+            ref[pl.ds(i, block), :] = jnp.stack(
+                [o[k] for o in outs], axis=0)
+        return i + block, w_rem
 
     def cond(carry):
         i, w_rem = carry
@@ -279,9 +316,11 @@ def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
+    block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel4, cap=max_out,
-                          min_separation=float(min_separation)),
+                          min_separation=float(min_separation),
+                          block=block),
         grid=(P // tile_p,),
         in_specs=[chan] * 15,
         out_specs=(out,) * 15,
@@ -304,7 +343,7 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
              c00_ref, c01_ref, c02_ref, c11_ref, c12_ref, c22_ref,
              ow_ref, om0_ref, om1_ref, om2_ref,
              o00_ref, o01_ref, o02_ref, o11_ref, o12_ref, o22_ref,
-             *, cap: int, min_separation: float):
+             *, cap: int, min_separation: float, block: int):
     """3-D variant (disparity-space Gaussians): Mahalanobis via the
     closed-form 3x3 adjugate/determinant (device_math.cuh:331-345)."""
     tp, K = w_ref.shape
@@ -323,8 +362,7 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
     for idx, o in enumerate(c_out):       # diag channels: 00, 11, 22
         o[:, :] = ones_out if idx in (0, 3, 5) else zeros_out
 
-    def body(carry):
-        i, w_rem = carry
+    def one_pick(w_rem):
         mval = jnp.max(w_rem, axis=1)
         hit = w_rem == mval[:, None]
         first = jnp.min(jnp.where(hit, iota, K), axis=1)
@@ -352,16 +390,28 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
         inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
         mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
         dd = [mu[k][:, None] - means[k] for k in range(3)]
-        ow_ref[i, :] = wsum
-        for k in range(3):
-            m_out[k][i, :] = mu[k]
+        vals = [wsum] + mu
         pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
         for ci, (aa, bb) in enumerate(pairs):
             nc = jnp.sum(sw * (covs[ci] + dd[aa] * dd[bb]), axis=1) * inv
             if aa == bb:
                 nc = jnp.where(wsum > 0.0, nc, 1.0)
-            c_out[ci][i, :] = nc
-        return i + 1, jnp.where(sel, 0.0, w_rem)
+            vals.append(nc)
+        return jnp.where(sel, 0.0, w_rem), vals
+
+    refs = [ow_ref] + m_out + c_out
+
+    # block picks per iteration + tile-aligned slab stores (see _kernel)
+    def body(carry):
+        i, w_rem = carry
+        outs = []
+        for _b in range(block):
+            w_rem, vals = one_pick(w_rem)
+            outs.append(vals)
+        for k, ref in enumerate(refs):
+            ref[pl.ds(i, block), :] = jnp.stack(
+                [o[k] for o in outs], axis=0)
+        return i + block, w_rem
 
     def cond(carry):
         i, w_rem = carry
@@ -387,9 +437,11 @@ def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
+    block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel3, cap=max_out,
-                          min_separation=float(min_separation)),
+                          min_separation=float(min_separation),
+                          block=block),
         grid=(P // tile_p,),
         in_specs=[chan] * 10,
         out_specs=(out,) * 10,
