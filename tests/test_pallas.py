@@ -347,3 +347,28 @@ def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
         np.sort(np.asarray(g2x.w), axis=-1), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g4p.w), np.asarray(g4x.w),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_merge_pallas_odd_cap_block_fallback(rng):
+    """max_out values not divisible by the pick block must fall back to
+    smaller blocks (down to 1) and still match the XLA path exactly."""
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+    from phdslam_tpu.ops.gm import greedy_merge_channels
+
+    P, K = 128, 96
+    w = (rng.uniform(size=(P, K)) < 0.6) * rng.uniform(0.01, 2.0, (P, K))
+    mx = rng.uniform(-20, 20, (P, K))
+    my = rng.uniform(-20, 20, (P, K))
+    c00 = rng.uniform(0.05, 1.5, (P, K))
+    c11 = rng.uniform(0.05, 1.5, (P, K))
+    c01 = 0.4 * np.sqrt(c00 * c11) * rng.uniform(-1, 1, (P, K))
+    args = [jnp.asarray(a, jnp.float32) for a in (w, mx, my, c00, c01, c11)]
+
+    for cap in (7, 10, 33):          # block falls to 1, 2, 1
+        ref = greedy_merge_channels(*args, 4.0, cap, metric=0)
+        got = greedy_merge_pallas(*args, 4.0, cap, interpret=True)
+        for name, g, r in zip(("w", "mx", "my", "c00", "c01", "c11"),
+                              got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"cap={cap} {name}")
