@@ -165,13 +165,18 @@ def esf_all(log_lambda):
 
     Returns (esf [..., M+1], esfd [..., M, M]) == (esf_log(ll),
     esf_deleted(ll)) but with O(log M) sequential depth instead of the
-    O(M)-step scan (and O(M) scans for the deleted sets): the TPU runs the
-    per-level convolutions as wide parallel work instead of M tiny
-    dependent steps. Up-sweep: pairwise log-polynomial products up a binary
-    tree; down-sweep: each node's complement polynomial = parent complement
-    x sibling, so every leaf ends with the ESF of all OTHER measurements
-    (the prefix-suffix product trick). M is padded to a power of two with
-    -inf entries (unit polynomials), which drop out exactly.
+    O(M)-step scan (and O(M) scans for the deleted sets). Up-sweep:
+    pairwise log-polynomial products up a binary tree; down-sweep: each
+    node's complement polynomial = parent complement x sibling, so every
+    leaf ends with the ESF of all OTHER measurements (the prefix-suffix
+    product trick). M is padded to a power of two with -inf entries (unit
+    polynomials), which drop out exactly.
+
+    Measured on the v5e chip this is SLOWER than the scan forms at the
+    CPHD baseline shape (the down-sweep's take-based log-convolutions
+    materialize large intermediates), so psi_terms uses esf_log +
+    esf_deleted; this stays as a tested alternative for shapes where the
+    scan's sequential depth dominates (very large M, small P).
     """
     m = log_lambda.shape[-1]
     mp = 1
@@ -233,9 +238,14 @@ def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
                   - safe_log(jnp.asarray(cfg.clutterDensity)))
     log_lambda = jnp.where(z_valid[None, :], log_lambda, NEG_INF)
 
-    # full + per-deleted ESFs in one O(log M)-depth tree pass (the
-    # scan/vmap forms esf_log/esf_deleted are kept as the parity oracle)
-    esf, esfd = esf_all(log_lambda)                # [P, M+1], [P, M, M]
+    # Scan build-up for the full ESF, vmapped rebuilds for the deleted
+    # ones. The O(log M)-depth divide-and-conquer alternative (esf_all)
+    # was measured SLOWER on the chip (11.7 vs 6.9 ms at P=1024, M=64):
+    # its down-sweep convolutions materialize [P, M, M, M/2]-scale
+    # logsumexp tensors, which cost more than the scan's M tiny dependent
+    # steps. Kept as an option + oracle-pinned test.
+    esf = esf_log(log_lambda)                                   # [P, M+1]
+    esfd = esf_deleted(log_lambda)                              # [P, M, M]
 
     # Inner products <q_D, w> and <1, w> (log). The reference's form
     # multiplies (n-j)*log<qd,w> and subtracts n*log<1,w> — with LOG0
