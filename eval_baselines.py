@@ -292,9 +292,35 @@ def main():
     # the compile step
     lt = np.loadtxt("results/disparity/loopTime.log")
     ms_d = float(np.median(lt[1:])) if lt.size > 1 else float(lt)
+
+    # compiled scan-mode cost (one dispatch for the whole run; the loop
+    # number above is dominated by per-step dispatch latency through the
+    # experimental tunnel)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from phdslam_tpu.filter.disparity import (DisparityState,
+                                              run_disparity_scan)
+    from phdslam_tpu.io.loaders import (load_measurements,
+                                        pad_measurement_sets)
+
+    sets_d = load_measurements("data/disparity_synth/measurements.txt")
+    rb_d, _, val_d = pad_measurement_sets(sets_d, cfg_d.maxMeasurements)
+    t_sc = len(sets_d) if not QUICK else min(20, len(sets_d))
+    scan_args = (DisparityState.create(cfg_d), _jax.random.PRNGKey(0),
+                 _jnp.asarray(rb_d[:t_sc]), _jnp.asarray(val_d[:t_sc]),
+                 cfg_d, t_sc)
+    _f, (_a, _) = run_disparity_scan(*scan_args)
+    np.asarray(_a.expected_pose)                   # compile + sync
+    t0 = time.time()
+    _f, (_a, _) = run_disparity_scan(*scan_args)
+    np.asarray(_a.expected_pose)
+    ms_d_scan = (time.time() - t0) / t_sc * 1000
+
     results["disparity"] = dict(
         steps=t_d, pose_err_mean=float(err_d.mean()),
-        pose_err_final=float(err_d[-1]), ms_per_step=ms_d)
+        pose_err_final=float(err_d[-1]), ms_per_step=ms_d,
+        ms_per_step_scan=ms_d_scan)
     lines += [
         "## Disparity (monocular SC-PHD) — cfg/disparity_synth.cfg",
         f"- shipped synthetic camera dataset data/disparity_synth/ "
@@ -303,7 +329,10 @@ def main():
         "cloud points/feature",
         f"- mean camera position error {err_d.mean():.3f} m "
         f"(final {err_d[-1]:.3f} m) vs ground truth",
-        f"- {ms_d:.2f} ms/step median (loopTime.log, host-fetch synced)",
+        f"- {ms_d:.2f} ms/step median in loop mode (per-step dispatch "
+        "latency dominates through the tunnel); "
+        f"{ms_d_scan:.2f} ms/step as one compiled whole-run scan "
+        "(--mode scan)",
         ""]
 
     # ---------- config 4: dense stress ----------

@@ -337,6 +337,30 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
                           n_measure=n_measure)
 
 
+@partial(jax.jit, static_argnames=("cfg", "length"))
+def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
+                       cfg: SlamConfig, length: int):
+    """Whole-dataset `lax.scan` over disparity_step (the SC-PHD analog of
+    filter.step.run_scan): one dispatch for the full run — the honest
+    per-step compute cost without the per-dispatch tunnel latency loop
+    mode pays. Carries the per-step pose/weight state for the pose log
+    contract (feature clouds are too large to stack per step; scan-mode
+    disparity logs write an empty map line).
+
+    zs_rb [T, M, 2]; zs_valid [T, M]. Returns (final_state,
+    (stacked DispAux, stacked (log_weights, poses, resample_idx)))."""
+    keys = jax.random.split(key, length)
+    t_idx = jnp.arange(length)
+
+    def body(st, inp):
+        k, rb, valid, t = inp
+        st, aux = disparity_step(st, k, rb, valid, jnp.float32(cfg.dt),
+                                 t > 0, cfg)
+        return st, (aux, (st.log_weights, st.pose, st.resample_idx))
+
+    return jax.lax.scan(body, state, (keys, zs_rb, zs_valid, t_idx))
+
+
 def _map_world_gaussians(state: DisparityState):
     """Fit world-frame Gaussians to the MAP particle's feature clouds
     (host-side numpy): (w [K], mean [K,3], cov [K,3,3])."""
@@ -387,6 +411,40 @@ def run_disparity(cfg: SlamConfig, args):
                                 minval=-0.03, maxval=0.03)
     state = state.replace(pose=state.pose.at[:, 3].add(jitter[:, 0])
                           .at[:, 5].add(jitter[:, 1]))
+
+    if getattr(args, "mode", "loop") == "scan":
+        t0 = time.time()
+        final, (auxs, (lws, poses_p, ridx)) = run_disparity_scan(
+            state, key, jnp.asarray(rb[:n_steps]),
+            jnp.asarray(valid[:n_steps]), cfg, n_steps)
+        poses = np.asarray(auxs.expected_pose)   # host fetch == sync
+        elapsed = time.time() - t0
+        neffs = np.asarray(auxs.neff)
+        nan_steps = np.flatnonzero(~np.isfinite(neffs))
+        t_valid = int(nan_steps[0]) if nan_steps.size else n_steps
+        if t_valid < n_steps:
+            print(f"nan weights detected at step {t_valid}! "
+                  "truncating outputs...")
+        ms_step = elapsed / n_steps * 1000
+        for t in range(t_valid):
+            logs.append_loop_time(out_dir, ms_step)
+            if not getattr(args, "no_logs", False):
+                # pose log contract; map line empty in scan mode (clouds
+                # are too large to stack per step)
+                logs.write_state_estimate_log(
+                    out_dir, t, poses[t],
+                    np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3, 3)),
+                    particle_log_weights=np.asarray(lws[t]),
+                    particle_poses=np.asarray(poses_p[t]),
+                    resample_idx=np.asarray(ridx[t]),
+                    max_cardinality=cfg.maxCardinality)
+            logs.append_metrics_jsonl(out_dir, dict(
+                t=t, ms=ms_step, neff=float(neffs[t]),
+                n_measure=int(np.asarray(auxs.n_measure[t]))))
+        print(f"disparity scan: {n_steps} steps in {elapsed:.3f}s "
+              f"({ms_step:.2f} ms/step)")
+        return dict(state=final, poses=poses[:t_valid],
+                    ms_per_step=ms_step)
 
     poses_out = []
     for t in range(n_steps):

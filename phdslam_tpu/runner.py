@@ -558,6 +558,14 @@ def main(argv=None):
 
     from phdslam_tpu.utils import ensure_backend
     ensure_backend()
+    # persistent compilation cache: repeated runs (and scan-mode timing)
+    # skip the one-time XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache-tpu"))
+    except Exception:
+        pass
 
     cfg = load_config(args.config)
     if args.run_type == "disparity":

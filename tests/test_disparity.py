@@ -230,3 +230,37 @@ def test_disparity_cli_operational(tmp_path):
         err = np.linalg.norm(pose[:3] - sc.traj[t, :3])
         assert err < 2.0, (t, err)
     assert np.isfinite(res["poses"]).all()
+
+
+def test_disparity_scan_mode(tmp_path):
+    """Scan mode: one dispatch for the whole disparity run, same pose-log
+    and metrics set as loop mode (map line empty by design)."""
+    import os
+
+    from phdslam_tpu import runner
+    from phdslam_tpu.simdata import (
+        generate_disparity_run, make_disparity_scenario,
+        write_disparity_files)
+
+    rng = np.random.default_rng(5)
+    sc = make_disparity_scenario(rng, n_landmarks=10, n_steps=5,
+                                 clutter_rate=1.0)
+    data_dir = tmp_path / "data"
+    write_disparity_files(str(data_dir), sc, generate_disparity_run(rng, sc))
+    base = open("cfg/disparity_synth.cfg").read()
+    base = base.replace("n_particles = 64", "n_particles = 8")
+    base = base.replace("particles_per_feature = 64",
+                        "particles_per_feature = 16")
+    base = base.replace("max_features = 64", "max_features = 16")
+    base = base.replace("max_measurements = 48", "max_measurements = 16")
+    cfg_path = tmp_path / "d.cfg"
+    cfg_path.write_text(base)
+    out = tmp_path / "out"
+    res = runner.main([str(cfg_path), "disparity", "--mode", "scan",
+                       "--out-dir", str(out), "--data-dir", str(data_dir)])
+    est = [f for f in os.listdir(out) if f.startswith("state_estimate")]
+    assert len(est) == 5
+    lines = open(out / "state_estimate00004.log").read().splitlines()
+    pose = np.fromstring(lines[0], sep=" ")
+    assert pose.shape == (12,) and np.isfinite(pose).all()
+    assert np.isfinite(res["poses"]).all()
