@@ -11,7 +11,6 @@ animated GIF; no GUI dependency.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

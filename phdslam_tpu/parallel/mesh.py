@@ -80,8 +80,6 @@ def replicate_measurements(z: Measurements, mesh: Mesh) -> Measurements:
 def sharded_step(cfg, mesh: Mesh):
     """Return a jit-compiled slam_step whose state inputs/outputs are pinned
     to the particle sharding (donated to avoid copies on the big maps)."""
-    from functools import partial
-
     from phdslam_tpu.filter.step import slam_step
 
     rep = replicated(mesh)
