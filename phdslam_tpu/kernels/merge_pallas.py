@@ -69,11 +69,11 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
     o01_ref[:, :] = zeros_out
     o11_ref[:, :] = ones_out
 
-    def one_pick(w_rem):
+    def one_pick(w_rem, mval):
         """One greedy pick + moment-matched merge; returns the remaining
-        weights and this pick's output channel values ([tp] each). Rows
-        whose weights are exhausted produce zeros (the pre-fill values)."""
-        mval = jnp.max(w_rem, axis=1)                        # [tp]
+        weights, its NEXT max (so the loop cond and the next pick reuse
+        one reduction), and this pick's output channel values ([tp] each).
+        Rows whose weights are exhausted produce zeros (the pre-fill)."""
         hit = w_rem == mval[:, None]
         first = jnp.min(jnp.where(hit, iota, K), axis=1)
         onehot = iota == first[:, None]
@@ -111,18 +111,26 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         sw = jnp.where(sel, w_rem, 0.0)
         wsum = jnp.sum(sw, axis=1)                           # [tp]
         inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
-        mux = jnp.sum(sw * mx, axis=1) * inv
-        muy = jnp.sum(sw * my, axis=1) * inv
-        ddx = mux[:, None] - mx
-        ddy = muy[:, None] - my
-        n00 = jnp.sum(sw * (c00 + ddx * ddx), axis=1) * inv
-        n01 = jnp.sum(sw * (c01 + ddx * ddy), axis=1) * inv
-        n11 = jnp.sum(sw * (c11 + ddy * ddy), axis=1) * inv
+        # one-pass moments centered on the picked mean: cluster members
+        # sit within sqrt(min_separation) Mahalanobis of the pick, so
+        # |dx| is O(1) and E[x^2]-E[x]^2 in centered coordinates loses no
+        # precision — and the second (ddx/ddy) sweep over [tp, K]
+        # disappears (the merge is trip-count bound; see the slab-store
+        # note below)
+        mcx = jnp.sum(sw * dx, axis=1) * inv                 # [tp]
+        mcy = jnp.sum(sw * dy, axis=1) * inv
+        n00 = jnp.sum(sw * (c00 + dx * dx), axis=1) * inv - mcx * mcx
+        n01 = jnp.sum(sw * (c01 + dx * dy), axis=1) * inv - mcx * mcy
+        n11 = jnp.sum(sw * (c11 + dy * dy), axis=1) * inv - mcy * mcy
+        # de-center; exhausted rows (wsum = 0) emit the zero/identity
+        # pre-fill values, like the XLA path
+        mux = jnp.where(wsum > 0.0, rmx[:, 0] - mcx, 0.0)
+        muy = jnp.where(wsum > 0.0, rmy[:, 0] - mcy, 0.0)
+        w_next = jnp.where(sel, 0.0, w_rem)
         vals = (wsum, mux, muy,
-                # empty rows keep the identity covariance of the pre-fill
                 jnp.where(wsum > 0.0, n00, 1.0), n01,
                 jnp.where(wsum > 0.0, n11, 1.0))
-        return jnp.where(sel, 0.0, w_rem), vals
+        return w_next, jnp.max(w_next, axis=1), vals
 
     # `block` greedy picks per while iteration, stored as ONE tile-aligned
     # [block, tp] slab per channel. Two wins over one dynamic row-store per
@@ -134,10 +142,10 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
     # Sequential-greedy semantics are unchanged: each pick sees the
     # previous picks' zeroed weights. Callers pick block | cap.
     def body(carry):
-        i, w_rem = carry
+        i, w_rem, mval = carry
         outs = []
         for _b in range(block):
-            w_rem, vals = one_pick(w_rem)
+            w_rem, mval, vals = one_pick(w_rem, mval)
             outs.append(vals)
         slabs = [jnp.stack([o[k] for o in outs], axis=0)
                  for k in range(6)]                          # [block, tp]
@@ -147,13 +155,17 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         o00_ref[pl.ds(i, block), :] = slabs[3]
         o01_ref[pl.ds(i, block), :] = slabs[4]
         o11_ref[pl.ds(i, block), :] = slabs[5]
-        return i + block, w_rem
+        return i + block, w_rem, mval
 
     def cond(carry):
-        i, w_rem = carry
-        return (i < cap) & jnp.any(w_rem > 0.0)
+        # the carried max doubles as the emptiness test — no extra
+        # any(w_rem > 0) reduction per iteration
+        i, _w_rem, mval = carry
+        return (i < cap) & (jnp.max(mval) > 0.0)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), w_ref[:, :]))
+    w0 = w_ref[:, :]
+    jax.lax.while_loop(cond, body,
+                       (jnp.int32(0), w0, jnp.max(w0, axis=1)))
 
 
 @functools.partial(jax.jit,
