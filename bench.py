@@ -98,18 +98,11 @@ def main():
     ensure_backend()
 
     import jax
-    if jax.default_backend() not in ("tpu", "axon"):
-        # The experimental tunnel's registration is per-process and flaps
-        # for long stretches; a fresh process is the only retry that works.
-        # Re-exec (bounded) so the driver's benchmark lands on the real
-        # chip instead of silently recording the CPU fallback.
-        tries = int(os.environ.get("BENCH_TPU_RETRIES", "12"))
-        if tries > 0:
-            print(f"tpu backend unavailable; re-exec retry "
-                  f"({tries} attempts left)", file=sys.stderr)
-            time.sleep(50)
-            env = dict(os.environ, BENCH_TPU_RETRIES=str(tries - 1))
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    from phdslam_tpu.utils import tpu_reexec_retry
+    # Re-exec (bounded) so the driver's benchmark lands on the real chip
+    # instead of silently recording the CPU fallback; no-op on machines
+    # without the tunnel (utils.tpu_expected).
+    tpu_reexec_retry()
 
     stress = load_config("cfg/ackerman_synth.cfg").replace(
         n_particles=8192, maxFeatures=512, maxMeasurements=64,
@@ -123,21 +116,26 @@ def main():
     if quick:
         stress = stress.replace(n_particles=512, maxFeatures=128)
 
-    ms_tpu = bench_tpu(stress)
+    # headline: fast merge mode (merge_mode=1 — prune+renormalize before
+    # the greedy merge; accuracy evidence = exact-vs-fast MC envelopes in
+    # RESULTS.md). Exact reference-semantics greedy reported alongside.
+    ms_fast = bench_tpu(stress.replace(mergeMode=1))
+    ms_exact = bench_tpu(stress)
     cpu_ms, cpu_p = bench_cpu_reference(stress)
     cpu_ms_extrap = cpu_ms * (stress.n_particles / cpu_p)
-    speedup = cpu_ms_extrap / ms_tpu
-    updates_per_sec = stress.n_particles / (ms_tpu / 1000.0)
+    speedup = cpu_ms_extrap / ms_fast
+    updates_per_sec = stress.n_particles / (ms_fast / 1000.0)
 
     backend = jax.default_backend()
     print(json.dumps({
         "metric": f"ms_per_slam_step_{stress.n_particles}p"
                   + ("" if backend in ("tpu", "axon")
                      else f"_{backend}_fallback"),
-        "value": round(ms_tpu, 3),
+        "value": round(ms_fast, 3),
         "unit": "ms",
         "vs_baseline": round(speedup, 2),
         "particle_updates_per_sec": round(updates_per_sec),
+        "ms_exact_merge": round(ms_exact, 3),
         "cpu_reference_ms_extrapolated": round(cpu_ms_extrap, 1),
     }))
 

@@ -95,16 +95,10 @@ def main():
     from phdslam_tpu.utils import ensure_backend
     ensure_backend()
     import jax
-    if jax.default_backend() not in ("tpu", "axon"):
-        # per-process tunnel registration flap: only a fresh process can
-        # retry (same pattern as bench.py)
-        tries = int(os.environ.get("BENCH_TPU_RETRIES", "12"))
-        if tries > 0:
-            print(f"tpu backend unavailable; re-exec retry "
-                  f"({tries} attempts left)", file=sys.stderr)
-            time.sleep(50)
-            env = dict(os.environ, BENCH_TPU_RETRIES=str(tries - 1))
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    from phdslam_tpu.utils import tpu_reexec_retry
+    # per-process tunnel registration flap: only a fresh process can
+    # retry; no-op on machines without the tunnel (utils.tpu_expected)
+    tpu_reexec_retry()
 
     results = {}
     lines = ["# RESULTS — BASELINE.md configurations (round 2)",

@@ -157,6 +157,14 @@ class SlamConfig:
     # truncation and use this padding for fixed shapes under jit.
     maxMeasurements: int = 64   # padded measurement slots (ref caps at 256)
     mergeCandidates: int = 0    # 0 -> auto: top-K pool for prune+merge
+    mergeMode: int = 0          # 0 = exact greedy (reference semantics,
+                                # default); 1 = fast: pre-merge prune at
+                                # mergeMinWeight with mass renormalization
+                                # (documented deviation, PARITY.md) — cuts
+                                # the greedy trip count, the dense step's
+                                # dominant cost
+    mergeMinWeight: float = 1e-3  # fast-mode prune threshold (>= the
+                                  # reference's minFeatureWeight)
     usePallas: bool = True      # allow the fused Pallas TPU kernels; set
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
@@ -250,6 +258,8 @@ _KEY_MAP = {
     # TPU-rebuild extensions
     "max_measurements": "maxMeasurements",
     "merge_candidates": "mergeCandidates",
+    "merge_mode": "mergeMode",
+    "merge_min_weight": "mergeMinWeight",
     "use_pallas": "usePallas",
 }
 

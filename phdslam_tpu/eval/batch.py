@@ -11,10 +11,15 @@ all runs execute in a single `lax.scan` by stacking the run axis into the
 particle axis blockwise (runs are independent, so the particle axis simply
 carries R*P particles whose weights normalize per run).
 
-For exactness (per-run weight normalization and resampling), the simple and
-correct strategy used here runs the scan per run sequentially but with a
-single compiled executable — compile once, run R times; the dense per-step
-math still saturates the chip.
+Monte-Carlo runs are a vmapped leading axis over the whole-run scan
+(``vmapped=True``, the default): runs are independent, and vmap preserves
+per-run semantics exactly — weight normalization, nEff, and resampling all
+reduce over the particle axis only, which stays intact inside the batch.
+Each run keeps the same PRNG key it gets on the sequential path
+(``PRNGKey(seed + run)``), so the two paths compute the same filter runs;
+memory is bounded by chunking the run axis (``vmap_chunk``). The
+sequential path (``vmapped=False``) remains as the low-memory fallback and
+the parity anchor (tests/test_round3.py::test_vmapped_batch_matches_sequential).
 """
 
 from __future__ import annotations
@@ -85,7 +90,10 @@ def _map_ospa_curve(log_auxs, true_maps, every: int, t_len: int,
     w_all = np.asarray(log_auxs.map_w)
     mx_all = np.asarray(log_auxs.map_mx)
     my_all = np.asarray(log_auxs.map_my)
-    for t in range(0, t_len, max(every, 1)):
+    # always score the final step so batch_metrics' final_ospa really is
+    # the run's last step, whatever the stride
+    steps = sorted(set(range(0, t_len, max(every, 1))) | {t_len - 1})
+    for t in steps:
         gt = true_maps[min(t, len(true_maps) - 1)]
         w = w_all[t]
         n_est = int(round(float(w.sum())))
@@ -95,13 +103,70 @@ def _map_ospa_curve(log_auxs, true_maps, every: int, t_len: int,
     return ospa
 
 
+def _prepare_run(cfg: SlamConfig, scenario, run: int, seed: int,
+                 control_noise, t_len: int):
+    """Host-side re-noising for one MC run: (ctrl [T,2], rb [T,M,2],
+    labels [T,M], valid [T,M]) numpy arrays. Seeding is the run_batch
+    contract: run r uses default_rng(seed + 1000*r)."""
+    from phdslam_tpu.io.loaders import MeasurementSet, pad_measurement_sets
+    from phdslam_tpu.simdata import generate_run
+
+    rng = np.random.default_rng(seed + 1000 * run)
+    controls, meas = generate_run(rng, scenario, control_noise)
+    sets = [MeasurementSet(z[:, 0], z[:, 1],
+                           np.zeros(len(z), np.int32)) for z in meas]
+    rb, labels, valid = pad_measurement_sets(sets, cfg.maxMeasurements)
+    ctrl = np.zeros((t_len, 2), np.float32)
+    ctrl[1:] = controls[: t_len - 1]
+    return ctrl, rb[:t_len], labels[:t_len], valid[:t_len]
+
+
+def _analyze_one(run: int, poses, auxs_neff, log_auxs, true_maps,
+                 collect_maps_every: int, scenario, ms_per_step: float,
+                 out_dir: Optional[str]) -> RunResult:
+    """Shared per-run post-processing (host): pose error, map OSPA curve,
+    optional metrics JSONL line."""
+    t_len = scenario.traj.shape[0]
+    pose_err, _ = analyze_run(poses, scenario.traj)
+    if log_auxs is not None:
+        ospa = _map_ospa_curve(log_auxs, true_maps,
+                               collect_maps_every, t_len)
+    else:
+        ospa = np.full((t_len, 3), np.nan)
+    result = RunResult(poses=poses, pose_err=pose_err, ospa=ospa,
+                       neff=auxs_neff, ms_per_step=ms_per_step)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        scored = ospa[np.isfinite(ospa[:, 0])]
+        with open(os.path.join(out_dir, "batch_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(dict(
+                run=run, mean_pose_err=float(pose_err.mean()),
+                final_pose_err=float(pose_err[-1]),
+                mean_ospa=float(scored[:, 0].mean())
+                if scored.size else None,
+                final_ospa=float(scored[-1, 0])
+                if scored.size else None,
+                ms_per_step=ms_per_step)) + "\n")
+    return result
+
+
 def run_batch(cfg: SlamConfig, scenario, n_runs: int,
               control_noise=(0.2, 0.01), seed: int = 0,
               out_dir: Optional[str] = None,
-              collect_maps_every: int = 1) -> List[RunResult]:
+              collect_maps_every: int = 1,
+              vmapped: bool = True,
+              vmap_chunk: int = 0) -> List[RunResult]:
     """Monte-Carlo batch: `n_runs` independent re-noisings of `scenario`
-    (a simdata.Scenario), each filtered end-to-end with the shared compiled
-    scan. Returns per-run results; optionally writes metrics JSONL.
+    (a simdata.Scenario), each filtered end-to-end. Returns per-run
+    results; optionally writes metrics JSONL.
+
+    vmapped=True (default) stacks runs on a leading vmap axis over the
+    whole-run scan — one dispatch filters a whole chunk of runs
+    (SURVEY §7.2-11; replaces the reference's process-per-run
+    python/batch_run.py). vmap_chunk bounds device memory (0 = auto: cap
+    the in-flight particle count at 65536, the measured single-chip
+    headroom shape). Per-run PRNG keys and noise seeds are identical on
+    both paths.
 
     collect_maps_every=k scores map OSPA (vs the cumulative visited-landmark
     truth) every k steps; 0 disables map scoring (pose error only)."""
@@ -110,66 +175,86 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
 
     from phdslam_tpu.filter.state import Measurements, SlamState
     from phdslam_tpu.filter.step import run_scan
-    from phdslam_tpu.io.loaders import MeasurementSet, pad_measurement_sets
-    from phdslam_tpu.simdata import generate_run
 
-    results = []
     t_len = scenario.traj.shape[0]
     # particles must start where the scenario's trajectory starts
     cfg = cfg.replace(x0=float(scenario.traj[0, 0]),
                       y0=float(scenario.traj[0, 1]),
                       yaw0=float(scenario.traj[0, 2]))
     true_maps = visited_landmarks(scenario) if collect_maps_every else None
-    for run in range(n_runs):
-        rng = np.random.default_rng(seed + 1000 * run)
-        controls, meas = generate_run(rng, scenario, control_noise)
-        sets = [MeasurementSet(z[:, 0], z[:, 1],
-                               np.zeros(len(z), np.int32)) for z in meas]
-        rb, labels, valid = pad_measurement_sets(sets, cfg.maxMeasurements)
-        ctrl = np.zeros((t_len, 2), np.float32)
-        ctrl[1:] = controls[: t_len - 1]
-        zs = Measurements(rb=jnp.asarray(rb[:t_len]),
-                          label=jnp.asarray(labels[:t_len]),
-                          valid=jnp.asarray(valid[:t_len]))
+    with_log = collect_maps_every > 0
+
+    if not vmapped:
+        results = []
+        for run in range(n_runs):
+            ctrl, rb, labels, valid = _prepare_run(
+                cfg, scenario, run, seed, control_noise, t_len)
+            zs = Measurements(rb=jnp.asarray(rb), label=jnp.asarray(labels),
+                              valid=jnp.asarray(valid))
+            t0 = time.time()
+            out = run_scan(
+                SlamState.create(cfg), jax.random.PRNGKey(seed + run),
+                jnp.asarray(ctrl), zs,
+                jnp.full((t_len,), cfg.dt, jnp.float32), cfg, t_len,
+                with_log_state=with_log)
+            if with_log:
+                final, (auxs, log_auxs) = out
+            else:
+                final, auxs = out
+                log_auxs = None
+            # host fetch is the only reliable sync through the TPU tunnel
+            # (block_until_ready is a no-op there -> fictional timings)
+            poses = np.asarray(auxs.expected_pose)
+            elapsed = time.time() - t0
+            results.append(_analyze_one(
+                run, poses, np.asarray(auxs.neff), log_auxs, true_maps,
+                collect_maps_every, scenario, elapsed / t_len * 1000,
+                out_dir))
+        return results
+
+    # ---- vmapped path: runs stacked on a leading batch axis ----
+    if vmap_chunk <= 0:
+        vmap_chunk = max(1, 65536 // max(cfg.n_particles, 1))
+    base_state = SlamState.create(cfg)
+    dts = jnp.full((t_len,), cfg.dt, jnp.float32)
+
+    @jax.jit
+    def scan_chunk(keys, ctrls, rbs, labels, valids):
+        def one(key, ctrl, rb, lab, val):
+            zs = Measurements(rb=rb, label=lab, valid=val)
+            return run_scan(base_state, key, ctrl, zs, dts, cfg, t_len,
+                            with_log_state=with_log)
+        return jax.vmap(one)(keys, ctrls, rbs, labels, valids)
+
+    results = []
+    for start in range(0, n_runs, vmap_chunk):
+        runs = list(range(start, min(start + vmap_chunk, n_runs)))
+        prep = [_prepare_run(cfg, scenario, r, seed, control_noise, t_len)
+                for r in runs]
+        keys = jnp.stack([jax.random.PRNGKey(seed + r) for r in runs])
+        ctrls = jnp.asarray(np.stack([p[0] for p in prep]))
+        rbs = jnp.asarray(np.stack([p[1] for p in prep]))
+        labels = jnp.asarray(np.stack([p[2] for p in prep]))
+        valids = jnp.asarray(np.stack([p[3] for p in prep]))
         t0 = time.time()
-        out = run_scan(
-            SlamState.create(cfg), jax.random.PRNGKey(seed + run),
-            jnp.asarray(ctrl), zs,
-            jnp.full((t_len,), cfg.dt, jnp.float32), cfg, t_len,
-            with_log_state=collect_maps_every > 0)
-        if collect_maps_every:
-            final, (auxs, log_auxs) = out
+        out = scan_chunk(keys, ctrls, rbs, labels, valids)
+        if with_log:
+            _final, (auxs, log_auxs) = out
         else:
-            final, auxs = out
+            _final, auxs = out
             log_auxs = None
-        # host fetch is the only reliable sync through the TPU tunnel
-        # (block_until_ready is a no-op there -> fictional timings)
-        poses = np.asarray(auxs.expected_pose)
+        poses_all = np.asarray(auxs.expected_pose)      # [C, T, 6]
         elapsed = time.time() - t0
-        pose_err, _ = analyze_run(poses, scenario.traj)
-        if log_auxs is not None:
-            ospa = _map_ospa_curve(log_auxs, true_maps,
-                                   collect_maps_every, t_len)
-        else:
-            ospa = np.full((t_len, 3), np.nan)
-        results.append(RunResult(
-            poses=poses, pose_err=pose_err,
-            ospa=ospa,
-            neff=np.asarray(auxs.neff),
-            ms_per_step=elapsed / t_len * 1000))
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
-            scored = ospa[np.isfinite(ospa[:, 0])]
-            with open(os.path.join(out_dir, "batch_metrics.jsonl"),
-                      "a") as f:
-                f.write(json.dumps(dict(
-                    run=run, mean_pose_err=float(pose_err.mean()),
-                    final_pose_err=float(pose_err[-1]),
-                    mean_ospa=float(scored[:, 0].mean())
-                    if scored.size else None,
-                    final_ospa=float(scored[-1, 0])
-                    if scored.size else None,
-                    ms_per_step=results[-1].ms_per_step)) + "\n")
+        ms = elapsed / (t_len * len(runs)) * 1000
+        neff_all = np.asarray(auxs.neff)
+        if log_auxs is not None:                        # one bulk fetch
+            log_auxs = jax.tree.map(np.asarray, log_auxs)
+        for i, run in enumerate(runs):
+            la = (jax.tree.map(lambda x, i=i: x[i], log_auxs)
+                  if log_auxs is not None else None)
+            results.append(_analyze_one(
+                run, poses_all[i], neff_all[i], la, true_maps,
+                collect_maps_every, scenario, ms, out_dir))
     return results
 
 

@@ -482,6 +482,9 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     flat = lambda a: a.reshape(P, M * k1)
     cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
     cand_w = cat(w_sec1, flat(w_sel))
+    if cfg.mergeMode == 1:
+        from phdslam_tpu.ops.gm import fast_prune_renormalize
+        cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     cand_mx = cat(gm.mx, flat(mx_sel))
     cand_my = cat(gm.my, flat(my_sel))
     cand_00 = cat(gm.c00, flat(u00_sel))

@@ -287,6 +287,9 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
                  jnp.full_like(zu_b, cfg.stdDBirth ** 2)),
     )
 
+    if cfg.mergeMode == 1:
+        from phdslam_tpu.ops.gm import fast_prune_renormalize
+        cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     (mw, mm0, mm1, mm2, mc00, mc01, mc02, mc11, mc12,
      mc22) = greedy_merge_channels3(
         cand_w, cand["m0"], cand["m1"], cand["m2"], cand["c00"],
@@ -468,10 +471,11 @@ def run_disparity(cfg: SlamConfig, args):
                 particle_poses=np.asarray(state.pose),
                 resample_idx=np.asarray(state.resample_idx),
                 max_cardinality=cfg.maxCardinality)
+        map_idx = int(np.argmax(np.asarray(state.log_weights)))
         logs.append_metrics_jsonl(out_dir, dict(
             t=t, ms=elapsed_ms, neff=neff_val,
             n_measure=int(np.asarray(aux.n_measure)),
-            card=float((np.asarray(state.w[0]) > 0).sum())))
+            card=float((np.asarray(state.w[map_idx]) > 0).sum())))
         if np.isnan(neff_val):
             print("nan weights detected! exiting...")
             break

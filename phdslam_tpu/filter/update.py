@@ -356,6 +356,11 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
 
     # --- greedy merge (src/phdfilter.cu:2707-2898) ------------------------
     # the merged output IS the new padded map: no union/top-k compaction
+    if cfg.mergeMode == 1:
+        # fast mode: drop sub-mergeMinWeight candidates (their greedy trips
+        # dominate the step) and renormalize mass — see ops/gm.py
+        from phdslam_tpu.ops.gm import fast_prune_renormalize
+        cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
         cfg.minSeparation, F, metric=cfg.distanceMetric,

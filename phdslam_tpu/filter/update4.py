@@ -493,8 +493,12 @@ def _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb, pose, cfg):
 
     flat = lambda a: a.reshape(P, M * k1)
     cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=-1)
+    cand_w = cat(w_sec1, flat(w_sel), w_b_p)
+    if cfg.mergeMode == 1:
+        from phdslam_tpu.ops.gm import fast_prune_renormalize
+        cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
-        cat(w_sec1, flat(w_sel), w_b_p),
+        cand_w,
         cat(gm2.mx, flat(mx_sel), pose[:, None, 0] + bdx),
         cat(gm2.my, flat(my_sel), pose[:, None, 1] + bdy),
         cat(gm2.c00, flat(u00_sel),
@@ -546,6 +550,9 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     flat = lambda a: a.reshape(P, M * k1)
     flatc = lambda a: a.reshape(P, a.shape[1], M * k1)
     cand_w = jnp.concatenate([w_sec1, flat(w_sel), w_b_p], axis=-1)
+    if cfg.mergeMode == 1:
+        from phdslam_tpu.ops.gm import fast_prune_renormalize
+        cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     cand_mean = jnp.concatenate(
         [gm4.mean_channels, flatc(mean_det), mean_b], axis=-1)
     cand_cov = jnp.concatenate(
@@ -575,6 +582,9 @@ def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg):
     flat = lambda a: a.reshape(P, M * k1)
     flatc = lambda a: a.reshape(P, a.shape[1], M * k1)
     cand_w = jnp.concatenate([w_sec1, flat(w_sel), w_b_p], axis=-1)
+    if cfg.mergeMode == 1:
+        from phdslam_tpu.ops.gm import fast_prune_renormalize
+        cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     cand_mean = jnp.concatenate(
         [gm4.mean_channels, flatc(mean_sel), mean_b], axis=-1)
     cand_cov = jnp.concatenate(

@@ -12,8 +12,9 @@ reductions cross devices each step:
   3. resampling: stratified index computation needs the global cumulative
      weight vector (tiny: one scalar per particle -> all-gather), while the
      subsequent particle gather moves whole maps across devices. XLA lowers
-     the jnp.take into the needed collective ops; locality-preferring
-     resampling (per-shard residual resampling) is a planned optimization.
+     the jnp.take into the needed collective ops. The locality-preserving
+     alternative (per-island local resampling + butterfly ppermute weight
+     exchange) is implemented in parallel/island.py.
 
 Everything runs through the same `slam_step` used on one chip — sharding is
 expressed entirely with NamedSharding annotations, XLA inserts collectives.

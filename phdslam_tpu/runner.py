@@ -542,16 +542,21 @@ def main(argv=None):
                     help="additionally time the prediction alone each step "
                          "-> predicttime.log (src/phdfilter.cu:1244-1251)")
     ap.add_argument("--variance", action="store_true",
-                    help="compute the MC-integrated PHD variance each "
-                         "update (phdVarianceKernel, "
-                         "src/phdfilter.cu:3585-3597)")
+                    help="compute the per-particle cardinality variance "
+                         "each update (closed-form Mahler statistic; "
+                         "deliberate deviation from the broken MC sampler "
+                         "in phdVarianceKernel, src/phdfilter.cu:3585-3597 "
+                         "— see filter/update.py::phd_variance). Exported "
+                         "as particles.variances; scale differs from "
+                         "reference logs.")
     ap.add_argument("--truth", default=None,
                     help="ground-truth landmarks (simData .mat or 'x y' "
                          "text) -> per-step OSPA column in metrics.jsonl")
     ap.add_argument("--islands", type=int, default=0,
                     help="run distributed over N mesh devices with "
                          "island-model (locality-preserving) resampling "
-                         "(parallel/island.py); loop mode, PHD filter only")
+                         "(parallel/island.py); works in loop AND scan "
+                         "modes, with PHD and CPHD filters")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 

@@ -32,3 +32,47 @@ def ensure_backend(retries: int = 5, delay_s: float = 3.0):
         return devs
     except RuntimeError:
         raise last
+
+
+def tpu_expected() -> bool:
+    """True when this machine is configured with the TPU tunnel plugin
+    (its site dir is on PYTHONPATH or exists at the canonical location).
+    Benchmark scripts use this to skip the re-exec retry loop entirely on
+    machines that never had a TPU, instead of sleeping through every
+    attempt before accepting the CPU fallback."""
+    import os
+
+    if os.environ.get("BENCH_EXPECT_TPU") in ("0", "false", "no"):
+        return False
+    if os.environ.get("BENCH_EXPECT_TPU"):
+        return True
+    site = "/root/.axon_site"
+    in_path = any(p and "axon" in p
+                  for p in os.environ.get("PYTHONPATH", "").split(":"))
+    return in_path or os.path.isdir(site)
+
+
+def tpu_reexec_retry(max_tries: int = 12, delay_s: float = 50.0):
+    """Bounded fresh-process retry when the default backend is not a TPU.
+
+    The experimental tunnel's registration is per-process and flaps for
+    long stretches; a fresh process is the only retry that works. No-op
+    (returns immediately) when the machine has no tunnel configured
+    (`tpu_expected()` false) or the retry budget is exhausted."""
+    import os
+    import sys
+
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        return
+    if not tpu_expected():
+        return
+    tries = int(os.environ.get("BENCH_TPU_RETRIES", str(max_tries)))
+    if tries <= 0:
+        return
+    print(f"tpu backend unavailable; re-exec retry "
+          f"({tries} attempts left)", file=sys.stderr)
+    time.sleep(delay_s)
+    env = dict(os.environ, BENCH_TPU_RETRIES=str(tries - 1))
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)

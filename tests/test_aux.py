@@ -1,6 +1,8 @@
 """Auxiliary subsystems: checkpoint/resume, .mat export, batch harness,
 plot rendering."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -23,6 +25,7 @@ def _one_step(state, cfg, seed=0):
                      jnp.float32(1.0), jnp.asarray(True), cfg)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     cfg = tiny_cfg
     state = SlamState.create(cfg)
@@ -51,6 +54,7 @@ def test_checkpoint_retention_and_latest(tiny_cfg, tmp_path):
     assert ckpt.latest_checkpoint(str(tmp_path)).endswith("ckpt_000005.npz")
 
 
+@pytest.mark.slow
 def test_mat_export_roundtrip(tiny_cfg, tmp_path):
     from scipy.io import loadmat
 
@@ -70,6 +74,7 @@ def test_mat_export_roundtrip(tiny_cfg, tmp_path):
     assert ms["weights"].size == cfg.n_particles
 
 
+@pytest.mark.slow
 def test_batch_harness_and_plots(tiny_cfg, tmp_path):
     from phdslam_tpu.eval.batch import aggregate, analyze_run, run_batch
     from phdslam_tpu.eval.plots import plot_error_curves

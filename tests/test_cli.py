@@ -66,6 +66,7 @@ def test_cli_scan_mode(tiny_run):
     assert os.path.exists(out / "loopTime.log")
 
 
+@pytest.mark.slow
 def test_cli_islands_cphd(tiny_run):
     """CPHD now runs in island mode (z_prev birth threading through the
     shard_map step)."""

@@ -162,6 +162,7 @@ def test_cphd_e2e_tracking(cphd_cfg):
     assert 0.5 < total < 2.0, total
 
 
+@pytest.mark.slow
 def test_cardinality_update_matches_f64_oracle(cphd_cfg):
     """psi_terms' cardinality posterior must match a direct float64
     implementation of Vo's CPHD update (Psi0 inner products, ESF, clutter
@@ -247,6 +248,7 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
     assert abs(mean_card - n_true) < 0.5, mean_card
 
 
+@pytest.mark.slow
 def test_esf_all_matches_scan_oracle(rng):
     """The D&C tree ESF (esf_all) must match the scan build-up esf_log and
     the per-deleted rebuild esf_deleted exactly (float32), including -inf

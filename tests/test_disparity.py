@@ -232,6 +232,7 @@ def test_disparity_cli_operational(tmp_path):
     assert np.isfinite(res["poses"]).all()
 
 
+@pytest.mark.slow
 def test_disparity_scan_mode(tmp_path):
     """Scan mode: one dispatch for the whole disparity run, same pose-log
     and metrics set as loop mode (map line empty by design)."""

@@ -18,6 +18,9 @@ from phdslam_tpu.parallel.mesh import (
 )
 
 
+
+pytestmark = pytest.mark.slow  # heavy e2e/interpret tests; unit core excludes via -m 'not slow'
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, jax.devices()

@@ -14,6 +14,9 @@ from phdslam_tpu.io.loaders import MeasurementSet, pad_measurement_sets
 from phdslam_tpu.simdata import make_scenario, generate_run
 
 
+
+pytestmark = pytest.mark.slow  # heavy e2e/interpret tests; unit core excludes via -m 'not slow'
+
 @pytest.fixture(scope="module")
 def scenario():
     rng = np.random.default_rng(11)

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 import pytest
 
 
+
+pytestmark = pytest.mark.slow  # heavy e2e/interpret tests; unit core excludes via -m 'not slow'
+
 @pytest.fixture(scope="module")
 def mesh8():
     from phdslam_tpu.parallel.island import make_island_mesh

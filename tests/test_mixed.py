@@ -101,6 +101,7 @@ def test_kalman_preupdate4_vs_numpy(mixed_cfg, rng):
     np.testing.assert_allclose(got_cov, p_up, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_greedy_merge4_moment_match():
     # two identical-cov 4-D gaussians 1 apart in x, large separation gate
     w = jnp.asarray([[0.5, 0.5]])
@@ -116,6 +117,7 @@ def test_greedy_merge4_moment_match():
     assert float(ow[0, 1]) == 0.0
 
 
+@pytest.mark.slow
 def test_mixed_e2e_moving_target(mixed_cfg):
     """MIXED model: static landmarks + one moving target; the filter tracks
     the vehicle and the dynamic map picks up the mover with a velocity

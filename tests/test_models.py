@@ -1,6 +1,8 @@
 """Motion and measurement model tests, including ground-truth trajectory
 reproduction from the shipped dataset."""
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.io import loadmat
@@ -72,6 +74,7 @@ def test_birth_gaussian_negative_range():
     assert abs(float(cov[2, 0, 0]) - c00) < 1e-5
 
 
+@pytest.mark.slow
 def test_range_class():
     cfg = CFG  # maxRange 10, maxBearing pi/2, minRange 0
     pose = jnp.asarray([0.0, 0.0, 0.0])

@@ -25,6 +25,9 @@ _SHAPE_RE = re.compile(r"\b(f32|s32|u32|pred|f64|s64)\[([\d,]*)\]")
 _BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f64": 8, "s64": 8}
 
 
+
+pytestmark = pytest.mark.slow  # heavy e2e/interpret tests; unit core excludes via -m 'not slow'
+
 def _collective_lines(hlo: str):
     out = {}
     for line in hlo.splitlines():

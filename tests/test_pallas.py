@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import pytest
 
 
+
+pytestmark = pytest.mark.slow  # heavy e2e/interpret tests; unit core excludes via -m 'not slow'
+
 def _problem(tiny_cfg, rng, P=128, F=128, M=8):
     from phdslam_tpu.filter.state import Gaussian2DMixture
 

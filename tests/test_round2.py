@@ -12,6 +12,9 @@ from phdslam_tpu import runner
 from phdslam_tpu.io.logs import read_state_estimate_log
 
 
+
+pytestmark = pytest.mark.slow  # heavy e2e/interpret tests; unit core excludes via -m 'not slow'
+
 @pytest.fixture()
 def tiny_run(tmp_path):
     cfg_path = tmp_path / "t.cfg"

@@ -35,6 +35,7 @@ def _setup(cfg):
 
 
 @pytest.mark.parametrize("weighting", [0, 1])
+@pytest.mark.slow
 def test_update_matches_cpu_oracle(tiny_cfg, weighting):
     cfg = tiny_cfg.replace(particleWeighting=weighting)
     pose, w, mean, cov, z, z_rb, z_valid = _setup(cfg)
@@ -75,6 +76,7 @@ def test_update_matches_cpu_oracle(tiny_cfg, weighting):
     assert abs((jdw[1] - jdw[0]) - (cdw[1] - cdw[0])) < 2e-3
 
 
+@pytest.mark.slow
 def test_update_empty_map_births_only(tiny_cfg):
     """With an empty map the update must produce exactly the birth terms and
     the no-features normalizer (src/phdfilter.cu:2219-2223)."""
@@ -100,6 +102,7 @@ def test_update_empty_map_births_only(tiny_cfg):
                                expect_dw, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_update_no_measurements_noop_weights(tiny_cfg):
     """slam_step gates the update on measurement presence; the raw update
     with zero valid measurements must leave map mass untouched apart from
@@ -117,6 +120,7 @@ def test_update_no_measurements_noop_weights(tiny_cfg):
     assert np.isfinite(np.asarray(res.log_weight_delta)).all()
 
 
+@pytest.mark.slow
 def test_scheme2_weighting_finite(tiny_cfg):
     """Single-feature weighting (scheme 2, src/phdfilter.cu:3600-3660):
     finite, and discriminates between a particle whose map explains a
@@ -132,6 +136,7 @@ def test_scheme2_weighting_finite(tiny_cfg):
     assert np.isfinite(dw).all(), dw
 
 
+@pytest.mark.slow
 def test_birth_gating_suppresses_compatible(tiny_cfg):
     """With gate_births, a measurement explained by an existing feature
     produces no birth component (N23 semantics)."""
