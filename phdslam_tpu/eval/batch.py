@@ -43,6 +43,11 @@ class RunResult:
     ospa: np.ndarray           # [T, 3] (ospa, loc, card) or NaN if no gt map
     neff: np.ndarray           # [T]
     ms_per_step: float
+    card_est: Optional[np.ndarray] = None   # [T] estimated map cardinality:
+    #   CPHD -> E[n] of the MAP particle's posterior cardinality pmf;
+    #   PHD  -> sum of the MAP particle's GM weights (the PHD intensity
+    #   integral; the reference logs the same statistic, main.cpp:937-952)
+    card_true: Optional[np.ndarray] = None  # [T] visited-landmark count
 
 
 def analyze_run(poses, true_traj, map_estimates=None, true_maps=None,
@@ -128,13 +133,29 @@ def _analyze_one(run: int, poses, auxs_neff, log_auxs, true_maps,
     optional metrics JSONL line."""
     t_len = scenario.traj.shape[0]
     pose_err, _ = analyze_run(poses, scenario.traj)
+    card_est = card_true = None
     if log_auxs is not None:
         ospa = _map_ospa_curve(log_auxs, true_maps,
                                collect_maps_every, t_len)
+        # estimated vs true map cardinality per step (the reference logs
+        # the cardinality distribution for offline scoring,
+        # src/main.cpp:937-952): CPHD -> E[n]; PHD -> intensity mass
+        cn = np.asarray(log_auxs.cardinality)            # [T, N+1] or [T, 1]
+        if cn.shape[-1] > 1:
+            pmf = np.exp(cn - cn.max(-1, keepdims=True))
+            pmf /= pmf.sum(-1, keepdims=True)
+            card_est = (pmf * np.arange(cn.shape[-1])).sum(-1)[:t_len]
+        else:
+            card_est = np.asarray(log_auxs.map_w).sum(-1)[:t_len]
+        if true_maps is not None:
+            card_true = np.asarray(
+                [len(true_maps[min(t, len(true_maps) - 1)])
+                 for t in range(t_len)], np.float64)
     else:
         ospa = np.full((t_len, 3), np.nan)
     result = RunResult(poses=poses, pose_err=pose_err, ospa=ospa,
-                       neff=auxs_neff, ms_per_step=ms_per_step)
+                       neff=auxs_neff, ms_per_step=ms_per_step,
+                       card_est=card_est, card_true=card_true)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         scored = ospa[np.isfinite(ospa[:, 0])]
@@ -146,6 +167,10 @@ def _analyze_one(run: int, poses, auxs_neff, log_auxs, true_maps,
                 if scored.size else None,
                 final_ospa=float(scored[-1, 0])
                 if scored.size else None,
+                mean_card_err=float(np.abs(card_est - card_true).mean())
+                if card_est is not None and card_true is not None else None,
+                final_card_err=float(abs(card_est[-1] - card_true[-1]))
+                if card_est is not None and card_true is not None else None,
                 ms_per_step=ms_per_step)) + "\n")
     return result
 
@@ -266,6 +291,12 @@ def aggregate(results: List[RunResult]):
     out = dict(
         pose_err_mean=pe.mean(0), pose_err_std=pe.std(0),
         ms_per_step=[r.ms_per_step for r in results])
+    if all(r.card_est is not None and r.card_true is not None
+           for r in results):
+        ce = np.stack([np.abs(r.card_est[:t_len] - r.card_true[:t_len])
+                       for r in results])                 # [R, T]
+        out.update(card_err_mean=ce.mean(0), card_err_std=ce.std(0),
+                   card_true=results[0].card_true[:t_len])
     os_ = np.stack([r.ospa[:t_len] for r in results])     # [R, T, 3]
     if np.isfinite(os_).any():
         with np.errstate(invalid="ignore"):

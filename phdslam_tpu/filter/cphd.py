@@ -217,7 +217,7 @@ class CphdUpdateTerms(NamedTuple):
     scale_nondetect: jax.Array    # [P] log-scale for non-detection weights
 
 
-def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
+def psi_terms(sum_l, qdw, w, valid_mask, z_valid, cn_predict,
               consts: CphdConstants, cfg: SlamConfig) -> CphdUpdateTerms:
     """Compute Vo's Psi inner products (computePsiKernel, .bak:1286-1430).
 
@@ -225,7 +225,19 @@ def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
     logsumexp_f(log pd + log w + log N(z; S)) over in-range features —
     the only statistic of the [P,M,F] cross-product the Psi machinery
     needs (so the fused TPU kernel's sum_exp feeds it directly);
-    qdw [P,F] log((1-pd) w); w [P,F] linear; cn_predict [P,N+1] log.
+    qdw [P,F] log((1-pd_f) w) with the PER-FEATURE pd (0 outside the
+    FOV); w [P,F] linear; cn_predict [P,N+1] log.
+
+    valid_mask [P,F] marks features that EXIST (w > 0), NOT the in-FOV
+    subset: per the reference (computePsiKernel .bak:1306-1342 reduces
+    qdw/wsum over the particle's whole map; cphdPreUpdateKernel
+    .bak:1183 writes qdw = log(1-featurePd)+log(w) with featurePd = 0
+    out of range), out-of-FOV features contribute their full mass to
+    <q_D,w> and <1,w>. Restricting these inner products to the in-FOV
+    subset makes psi(n) treat all n map features as detectable, which
+    multiplies in an e^{n log(1-pd)} penalty and collapses the posterior
+    cardinality to ~|Z| on any map larger than the FOV (the round-2
+    "posterior mean 1.02 on 80 landmarks" failure).
     """
     P, M = sum_l.shape
     ncard = cn_predict.shape[-1]
@@ -259,10 +271,10 @@ def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
     # coefficients. All magnitudes stay ~O(30*n): no cancellation hazards,
     # exact whenever the map is non-empty.
     ip_qdw = jax.scipy.special.logsumexp(
-        jnp.where(in_mask, qdw, NEG_INF), axis=-1)              # [P]
+        jnp.where(valid_mask, qdw, NEG_INF), axis=-1)           # [P]
     ip_qdw = jnp.maximum(ip_qdw, -1e30)
     log_wsum_raw = jnp.maximum(
-        safe_log(jnp.sum(jnp.where(in_mask, w, 0.0), axis=-1)), -1e30)
+        safe_log(jnp.sum(jnp.where(valid_mask, w, 0.0), axis=-1)), -1e30)
     log_ratio = jnp.clip(ip_qdw - log_wsum_raw, -30.0, 0.0)     # [P]
     log_wsum = jnp.maximum(log_wsum_raw, -30.0)
 
@@ -328,12 +340,15 @@ def psi_terms(sum_l, qdw, w, in_mask, z_valid, cn_predict,
 
     cn_update = cn_predict + psi0 - ip0[:, None]
 
-    # weight scales (cphdUpdateKernel, .bak:1446-1478)
+    # weight scales (cphdUpdateKernel, .bak:1446-1478). scale_nondetect
+    # is the GLOBAL <Psi1,cn>/<Psi0,cn> ratio only; the caller applies
+    # the per-feature (1-pd_f) via qdw (Vo's v_upd = <Y1,cn>/<Y0,cn> *
+    # (1-pd(x)) * v_pred; the reference folds in the config pd for every
+    # feature, .bak:1469-1471, which is wrong for out-of-FOV features).
     scale_detect = (ip1d - ip0[:, None]
                     + safe_log(jnp.asarray(cfg.clutterRate))
                     - safe_log(jnp.asarray(cfg.clutterDensity)))  # [P,M]
-    scale_nondetect = ip1 - ip0 + safe_log(
-        jnp.asarray(1.0 - cfg.pd))                               # [P]
+    scale_nondetect = ip1 - ip0                                   # [P]
 
     return CphdUpdateTerms(cn_update=cn_update, log_lik=ip0,
                            scale_detect=scale_detect,
@@ -410,6 +425,7 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
 
     pre = kalman_preupdate(pose, gm, cfg)
     in_mask = pre.rclass == 1
+    valid_mask = gm.w > 0                                       # [P,F]
     qdw = safe_log(1.0 - pre.pd) + safe_log(gm.w)               # [P,F]
     minw = cfg.minFeatureWeight
     k1 = min(8, F)
@@ -437,23 +453,26 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         sum_l = jax.scipy.special.logsumexp(
             jnp.where(in_mask[:, None, :], lw, NEG_INF), axis=-1)
 
-    terms = psi_terms(sum_l, qdw, gm.w, in_mask, z_valid, cn_predict,
+    terms = psi_terms(sum_l, qdw, gm.w, valid_mask, z_valid, cn_predict,
                       consts, cfg)
 
     # weights (cphdUpdateKernel): no per-measurement normalizer — the Psi
-    # inner products play that role
+    # inner products play that role. The non-detection scale applies to
+    # EVERY feature (qdw already carries the per-feature (1-pd_f): out-of-
+    # FOV features keep their full mass times the global Psi ratio,
+    # .bak:1463-1477 — there is no in-FOV passthrough split in CPHD mode).
     w_nondetect = jnp.where(
-        in_mask,
-        jnp.exp(safe_log(gm.w) + terms.scale_nondetect[:, None]), 0.0)
+        valid_mask,
+        jnp.exp(qdw + terms.scale_nondetect[:, None]), 0.0)
 
     # prune + pool + merge. Same sectioned, gather-free layout as the PHD
     # path (filter/update.py): [originals F | per-measurement top-k1
-    # detections M*k1]; the merge output IS the new map. Near/out-of-
-    # range features pass through the originals section with their prior
-    # weights. CPHD births entered the map pre-update (add_births), so
+    # detections M*k1]; the merge output IS the new map. Every existing
+    # feature sits in the originals section with its non-detection weight
+    # (out-of-FOV features: (1-pd_f)=1, scaled by the global Psi ratio
+    # only). CPHD births entered the map pre-update (add_births), so
     # there is no birth section.
-    w_nd_p = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
-    w_sec1 = jnp.where(in_mask, w_nd_p, gm.w)
+    w_sec1 = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
 
     if use_pallas:
         # recombine in log space: exp(scale_detect) alone can overflow

@@ -475,7 +475,7 @@ def run_disparity(cfg: SlamConfig, args):
         logs.append_metrics_jsonl(out_dir, dict(
             t=t, ms=elapsed_ms, neff=neff_val,
             n_measure=int(np.asarray(aux.n_measure)),
-            card=float((np.asarray(state.w[map_idx]) > 0).sum())))
+            card=float(np.asarray(state.w[map_idx]).sum())))
         if np.isnan(neff_val):
             print("nan weights detected! exiting...")
             break

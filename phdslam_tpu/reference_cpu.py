@@ -16,6 +16,21 @@ Algorithm mapping (all citations /root/reference/src/):
                                        component weights, prune flags)
   merge        phdfilter.cu:2707-2898 (greedy max-weight moment matching)
   resample     main.cpp:453-501 (stratified with overrun backfill)
+
+CPHD mode (cfg.filterType == 1) follows the reference's dormant CPHD
+pipeline (live in src/phdfilter.cu.bak):
+  births       addBirths / birthsKernel (.bak:737-856): gated births from
+               the PREVIOUS step's measurements, binomial birth cardinality
+  cn predict   cardinalityPredictKernel (.bak:512-545): log-pmf convolution
+  pre-update   cphdPreUpdateKernel (.bak:1058-1184): per-feature pd
+               (0 outside the FOV), qdw = log(1-pd_f) + log w over the
+               WHOLE map
+  ESF/Psi      computeEsfKernel / computePsiKernel (.bak:1194-1430)
+  update       cphdUpdateKernel (.bak:1436-1478); deliberate fix: the
+               non-detection scale uses the per-feature (1-pd_f) (Vo's
+               equation) where the reference applies the config pd to
+               every feature including out-of-FOV ones (.bak:1469-1471)
+  weight       particle weight increment = <Psi0, cn> (.bak:2663-2668)
 """
 
 from __future__ import annotations
@@ -37,6 +52,8 @@ class CpuParticle:
     w: np.ndarray                    # [F]
     mean: np.ndarray                 # [F, 2]
     cov: np.ndarray                  # [F, 2, 2]
+    cn: Optional[np.ndarray] = None  # [N+1] log cardinality pmf (CPHD)
+    cn_birth: Optional[np.ndarray] = None  # [N+1] log birth cardinality
 
 
 @dataclass
@@ -49,9 +66,17 @@ class CpuSlam:
         n = cfg.n_particles
         pose0 = np.array([cfg.x0, cfg.y0, cfg.yaw0,
                           cfg.vx0, cfg.vy0, cfg.vyaw0], np.float64)
+        if cfg.filterType == 1:        # CPHD: uniform initial cardinality
+            # (main.cpp:1142 assigns -log(maxCardinality+1) to every bin)
+            cn0 = np.full(cfg.maxCardinality + 1,
+                          -np.log(cfg.maxCardinality + 1.0))
+        else:
+            cn0 = None
         parts = [CpuParticle(pose0.copy(), -np.log(n),
                              np.zeros(0), np.zeros((0, 2)),
-                             np.zeros((0, 2, 2))) for _ in range(n)]
+                             np.zeros((0, 2, 2)),
+                             cn=None if cn0 is None else cn0.copy())
+                 for _ in range(n)]
         return cls(parts, np.arange(n))
 
 
@@ -268,6 +293,242 @@ def _greedy_merge(w, mu, P, cfg: SlamConfig):
             np.asarray(merged_P))
 
 
+# ---------------------------------------------------------------------------
+# CPHD (filterType == 1): dynamic-shape float64 oracle of the reference's
+# dormant CPHD pipeline (src/phdfilter.cu.bak). Everything runs per
+# particle with plain Python/NumPy control flow — the independent anchor
+# for the fixed-shape TPU path in filter/cphd.py.
+# ---------------------------------------------------------------------------
+
+def _logsumexp(a, axis=None):
+    from scipy.special import logsumexp
+    with np.errstate(invalid="ignore"):
+        out = logsumexp(a, axis=axis)
+    return np.where(np.isnan(out), -np.inf, out) if np.ndim(out) else \
+        (-np.inf if np.isnan(out) else out)
+
+
+def _cphd_add_births(p: CpuParticle, z_prev, cfg: SlamConfig):
+    """Births from the previous step's measurements, optionally gated to
+    measurements not explained by an existing feature (addBirths,
+    .bak:737-856; gating main.cpp:997-999). Also sets the binomial birth
+    cardinality."""
+    from math import lgamma
+
+    n_births = 0
+    for zi in z_prev:
+        ok = True
+        if cfg.gateBirths and len(p.w):
+            d = p.mean - p.pose[:2]
+            r = np.linalg.norm(d, axis=1)
+            b = wrap(np.arctan2(d[:, 1], d[:, 0]) - p.pose[2])
+            d2 = ((zi[0] - r) / cfg.stdRange) ** 2 \
+                + (wrap(zi[1] - b) / cfg.stdBearing) ** 2
+            ok = not np.any(d2 < cfg.gateThreshold ** 2)
+        if ok:
+            mean_b, cov_b = _birth(p.pose, zi, cfg)
+            p.w = np.concatenate([p.w, [cfg.birthWeight]])
+            p.mean = np.concatenate([p.mean, mean_b[None]])
+            p.cov = np.concatenate([p.cov, cov_b[None]])
+            n_births += 1
+
+    ncard = cfg.maxCardinality + 1
+    k = np.arange(ncard)
+    cb = np.full(ncard, -np.inf)
+    valid = k <= n_births
+    lp, l1p = np.log(cfg.birthWeight), np.log1p(-cfg.birthWeight)
+    for ki in k[valid]:
+        cb[ki] = (lgamma(n_births + 1) - lgamma(ki + 1)
+                  - lgamma(n_births - ki + 1) + ki * lp
+                  + (n_births - ki) * l1p)
+    p.cn_birth = cb
+
+
+def _cphd_cn_predict(p: CpuParticle, cfg: SlamConfig):
+    """cn_pred[n] = lse_{j<=n}(cn_birth[n-j] + cn[j])
+    (cardinalityPredictKernel, .bak:512-545)."""
+    if p.cn_birth is None:
+        return
+    ncard = cfg.maxCardinality + 1
+    out = np.full(ncard, -np.inf)
+    for n in range(ncard):
+        out[n] = _logsumexp(p.cn_birth[n::-1] + p.cn[: n + 1])
+    p.cn = out - _logsumexp(out)
+
+
+def _cphd_psi(lam_log, qdw_ip, wsum_log, cn_predict, m_count, cfg):
+    """Vo's Psi0/Psi1/Psi1d inner products in float64 log domain
+    (computePsiKernel, .bak:1286-1430). lam_log [M]: log Lambda_m
+    (unnormalized by <1,w>; the j-dependent normalization is applied
+    here). Returns (psi0 [N+1], ip0, ip1, ip1d [M])."""
+    from math import lgamma
+
+    ncard = cn_predict.shape[0]
+    # log ESF build-up (computeEsfKernel, .bak:1233-1247) + per-deleted
+    esf = np.full(m_count + 1, -np.inf)
+    esf[0] = 0.0
+    for ll in lam_log:
+        esf[1:] = np.logaddexp(esf[1:], ll + esf[:-1])
+    esfd = np.full((m_count, max(m_count, 1)), -np.inf)
+    for mi in range(m_count):
+        e = np.full(m_count, -np.inf)
+        e[0] = 0.0
+        for mj in range(m_count):
+            if mj == mi:
+                continue
+            e[1:] = np.logaddexp(e[1:], lam_log[mj] + e[:-1])
+        esfd[mi] = e
+
+    log_ratio = qdw_ip - wsum_log
+    lfact = np.array([lgamma(j + 1) for j in range(ncard + 1)])
+    lam_c = cfg.clutterRate
+    cn_clut = np.array([j * np.log(lam_c) - lam_c - lfact[j]
+                        for j in range(m_count + 1)])
+
+    def perm(n, a):                      # log n!/(n-a)!
+        return lfact[n] - lfact[n - a]
+
+    ns = np.arange(ncard)
+    psi0 = np.full(ncard, -np.inf)
+    psi1 = np.full(ncard, -np.inf)
+    for n in ns:
+        t0, t1 = [], []
+        for j in range(min(n, m_count) + 1):
+            aux = (lfact[m_count - j] + cn_clut[m_count - j]
+                   + esf[j] - j * wsum_log)
+            t0.append(aux + perm(n, j) + (n - j) * log_ratio)
+            if j + 1 <= n:
+                t1.append(aux + perm(n, j + 1)
+                          + (n - j - 1) * log_ratio - wsum_log)
+        psi0[n] = _logsumexp(np.asarray(t0)) if t0 else -np.inf
+        psi1[n] = _logsumexp(np.asarray(t1)) if t1 else -np.inf
+    ip0 = _logsumexp(psi0 + cn_predict)
+    ip1 = _logsumexp(psi1 + cn_predict)
+
+    ip1d = np.full(m_count, -np.inf)
+    for mi in range(m_count):
+        terms = []
+        for n in ns:
+            for j in range(min(n, m_count - 1) + 1):
+                if j + 1 > n:
+                    continue
+                terms.append(
+                    lfact[m_count - 1 - j] + cn_clut[m_count - 1 - j]
+                    + esfd[mi, j] - j * wsum_log + perm(n, j + 1)
+                    + (n - j - 1) * log_ratio - wsum_log
+                    + cn_predict[n])
+        ip1d[mi] = _logsumexp(np.asarray(terms)) if terms else -np.inf
+    return psi0, ip0, ip1, ip1d
+
+
+def cphd_update(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig):
+    """CPHD measurement update (cphdPreUpdateKernel + computeEsfKernel +
+    computePsiKernel + cphdUpdateKernel, .bak:1058-1478). Mutates
+    particles; the particle weight increment is <Psi0, cn>
+    (.bak:2663-2668)."""
+    m_count = z.shape[0]
+    if m_count == 0:
+        return
+    var_r, var_b = cfg.stdRange ** 2, cfg.stdBearing ** 2
+    kappa = cfg.clutterDensity
+
+    for p in slam.particles:
+        pose = p.pose
+        n_f = len(p.w)
+        wsum = p.w.sum()
+        if n_f == 0 or wsum <= 0:
+            # no features: pure clutter likelihood; cardinality unchanged
+            continue
+
+        d = p.mean - pose[:2]
+        r = np.linalg.norm(d, axis=1)
+        bearing = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
+        in_m = (r >= cfg.minRange) & (r <= cfg.maxRange) \
+            & (np.abs(bearing) <= cfg.maxBearing)
+        pd = np.where(in_m, cfg.pd, 0.0)
+
+        # Kalman pre-update terms for in-FOV features
+        lw = np.full((m_count, n_f), -np.inf)
+        mu_up = np.broadcast_to(p.mean[None], (m_count, n_f, 2)).copy()
+        P_up = p.cov.copy()
+        if in_m.any():
+            ii = np.where(in_m)[0]
+            di, ri, bi = d[ii], r[ii], bearing[ii]
+            J = np.stack([
+                np.stack([di[:, 0] / ri, di[:, 1] / ri], -1),
+                np.stack([-di[:, 1] / ri ** 2, di[:, 0] / ri ** 2], -1)],
+                -2)
+            Pi = p.cov[ii]
+            S = np.einsum("fij,fjk,flk->fil", J, Pi, J)
+            S[:, 0, 0] += var_r
+            S[:, 1, 1] += var_b
+            off = 0.5 * (S[:, 0, 1] + S[:, 1, 0])
+            S[:, 0, 1] = S[:, 1, 0] = off
+            det_s = S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]
+            s_inv = np.stack([
+                np.stack([S[:, 1, 1], -S[:, 0, 1]], -1),
+                np.stack([-S[:, 1, 0], S[:, 0, 0]], -1)], -2) \
+                / det_s[:, None, None]
+            K = np.einsum("fij,fkj,fkl->fil", Pi, J, s_inv)
+            IKJ = np.eye(2) - np.einsum("fij,fjk->fik", K, J)
+            R = np.diag([var_r, var_b])
+            P_upd = np.einsum("fij,fjk,flk->fil", IKJ, Pi, IKJ) \
+                + np.einsum("fij,jk,flk->fil", K, R, K)
+            P_up[ii] = P_upd
+            for mi in range(m_count):
+                innov = np.stack([z[mi, 0] - ri,
+                                  wrap(z[mi, 1] - bi)], -1)
+                dist = np.einsum("fi,fij,fj->f", innov, s_inv, innov)
+                lw[mi, ii] = (np.log(cfg.pd) + np.log(p.w[ii].clip(1e-300))
+                              - 0.5 * dist - np.log(2 * np.pi)
+                              - 0.5 * np.log(det_s))
+                mu_up[mi, ii] = p.mean[ii] \
+                    + np.einsum("fij,fj->fi", K, innov)
+
+        # Psi machinery: Lambda_m = lam_c/kappa * <pd w N(z)> (log,
+        # unnormalized; psi applies the <1,w>^-j factor)
+        lam_log = _logsumexp(lw, axis=1) + np.log(cfg.clutterRate) \
+            - np.log(kappa)
+        qdw_ip = _logsumexp(np.log(((1 - pd) * p.w).clip(1e-300)))
+        psi0, ip0, ip1, ip1d = _cphd_psi(
+            lam_log, qdw_ip, np.log(wsum), p.cn, m_count, cfg)
+
+        # weight updates (cphdUpdateKernel; per-feature pd in the
+        # non-detection scale — deliberate fix of .bak:1469-1471)
+        w_nd = (1 - pd) * p.w * np.exp(ip1 - ip0)
+        comps_w = [w_nd]
+        comps_mu = [p.mean]
+        comps_P = [p.cov]
+        for mi in range(m_count):
+            scale = ip1d[mi] - ip0 + np.log(cfg.clutterRate) \
+                - np.log(kappa)
+            comps_w.append(np.exp(lw[mi] + scale))
+            comps_mu.append(mu_up[mi])
+            comps_P.append(np.broadcast_to(P_up, (n_f, 2, 2)))
+        uw = np.concatenate(comps_w)
+        umu = np.concatenate(comps_mu)
+        uP = np.concatenate(comps_P)
+
+        # particle weight increment = <Psi0, cn> (.bak:2663-2668)
+        p.log_weight += float(ip0)
+
+        # cardinality posterior
+        cn_up = p.cn + psi0 - ip0
+        p.cn = cn_up - _logsumexp(cn_up)
+
+        # prune + merge (whole map: the CPHD path has no in/near/out
+        # sectioning, .bak:1058-1184 passes the full map through)
+        keep = uw >= cfg.minFeatureWeight
+        p.w, p.mean, p.cov = _greedy_merge(uw[keep], umu[keep], uP[keep],
+                                           cfg)
+
+    lws = np.array([q.log_weight for q in slam.particles])
+    mx = lws.max()
+    total = mx + np.log(np.exp(lws - mx).sum())
+    for q in slam.particles:
+        q.log_weight -= total
+
+
 def neff(slam: CpuSlam):
     lws = np.array([p.log_weight for p in slam.particles])
     return 1.0 / np.sum(np.exp(2 * lws)) / len(lws)
@@ -287,7 +548,10 @@ def resample(slam: CpuSlam, rng, n_out: Optional[int] = None):
         src = slam.particles[i]
         new_parts.append(CpuParticle(
             src.pose.copy(), -np.log(n_out),
-            src.w.copy(), src.mean.copy(), src.cov.copy()))
+            src.w.copy(), src.mean.copy(), src.cov.copy(),
+            cn=None if src.cn is None else src.cn.copy(),
+            cn_birth=None if src.cn_birth is None
+            else src.cn_birth.copy()))
     slam.particles = new_parts
     slam.resample_idx = idx
 
@@ -310,15 +574,29 @@ def run(cfg: SlamConfig, controls, measurement_sets, seed=0,
     [K,2] arrays. Returns stacked expected poses [T, 6]."""
     rng = np.random.default_rng(seed)
     slam = CpuSlam.create(cfg)
+    is_cphd = cfg.filterType == 1
     out = []
+    z_prev = np.zeros((0, 2))
     for t, z in enumerate(measurement_sets):
         if t > 0:
             u = controls[t - 1]
             for _ in range(max(cfg.subdividePredict, 1)):
                 predict(slam, u, cfg, cfg.dt / max(cfg.subdividePredict, 1),
                         rng)
+            if is_cphd:
+                for p in slam.particles:
+                    _cphd_cn_predict(p, cfg)
+        if is_cphd and len(z_prev):
+            # CPHD births come from the previous step's measurements
+            # (addBirths(particles, ZPrev), .bak:68)
+            for p in slam.particles:
+                _cphd_add_births(p, np.asarray(z_prev), cfg)
         if len(z):
-            update(slam, np.asarray(z), cfg)
+            if is_cphd:
+                cphd_update(slam, np.asarray(z), cfg)
+            else:
+                update(slam, np.asarray(z), cfg)
+        z_prev = z
         out.append(expected_pose(slam))
         if neff(slam) <= cfg.resampleThresh and len(z):
             resample(slam, rng, cfg.n_particles)

@@ -219,7 +219,7 @@ def _write_scan_logs(out_dir, t_valid, auxs, log_auxs, cfg, ms_per_step,
             n_measure=int(np.asarray(auxs.n_measure[t])),
             resampled=bool(np.asarray(auxs.resampled[t])),
             log_lik=float(np.asarray(auxs.log_lik[t])),
-            card=float((w > 0).sum()))
+            card=float(w.sum()))
         if truth_maps is not None:
             metrics["ospa"] = _ospa_from_map(
                 w, np.asarray(la.map_mx[t]), np.asarray(la.map_my[t]),
@@ -257,7 +257,7 @@ def _write_island_scan_logs(out_dir, t_valid, auxs, la, cfg, ms_per_step,
             neff=float(np.asarray(auxs.island_neff[t])),
             exchanged=bool(np.asarray(auxs.exchanged[t])),
             log_lik=float(np.asarray(auxs.log_lik[t])),
-            card=float((w > 0).sum()))
+            card=float(w.sum()))
         if truth_maps is not None:
             metrics["ospa"] = _ospa_from_map(
                 w, np.asarray(la.best_mx[t][isl]),
@@ -474,7 +474,8 @@ def run_synth(cfg: SlamConfig, args) -> dict:
             n_measure=int(aux.n_measure),
             resampled=bool(aux.resampled),
             log_lik=float(aux.log_lik),
-            card=float(jnp.sum(state.map_static.w[0] > 0)))
+            card=float(np.asarray(state.map_static.w[
+                int(np.argmax(np.asarray(state.log_weights)))]).sum()))
         if truth_maps is not None:
             metrics["ospa"] = _step_ospa(state, truth_maps, t)
         logs.append_metrics_jsonl(out_dir, metrics)

