@@ -339,33 +339,42 @@ def main():
               f"- `{bench_line}`", ""]
 
     # ---------- config 5: multi-chip ----------
-    # (a) memory headroom: the full 65k-particle state on ONE chip
+    # (a) memory headroom + honest throughput: the full 65k-particle
+    # state on ONE chip, measured as a whole-run `lax.scan` (one dispatch
+    # for T steps — loop-mode per-dispatch tunnel latency excluded, the
+    # loopTime.log analog of src/main.cpp:1300-1305)
     import jax
     import jax.numpy as jnp
 
     from phdslam_tpu.filter.state import Measurements, SlamState
-    from phdslam_tpu.filter.step import slam_step
+    from phdslam_tpu.filter.step import run_scan
     from phdslam_tpu.io.loaders import pad_measurement_sets
 
     p65 = 65536
+    t65 = 4 if QUICK else 16
     cfg5 = load_config("cfg/ackerman_synth.cfg").replace(n_particles=p65)
-    rb5, lab5, val5 = pad_measurement_sets(ms[:3], cfg5.maxMeasurements)
-    st5 = SlamState.create(cfg5)
-    z5 = Measurements(rb=jnp.asarray(rb5[1]), label=jnp.asarray(lab5[1]),
-                      valid=jnp.asarray(val5[1]))
+    rb5, lab5, val5 = pad_measurement_sets(ms[: t65 + 1],
+                                           cfg5.maxMeasurements)
+    zs5 = Measurements(rb=jnp.asarray(rb5[:t65]),
+                       label=jnp.asarray(lab5[:t65]),
+                       valid=jnp.asarray(val5[:t65]))
+    ctrls5 = jnp.asarray(np.concatenate(
+        [np.zeros((1, 2), np.float32), noisy[: t65 - 1]]))
+    dts5 = jnp.full((t65,), 1.0, jnp.float32)
     k5 = jax.random.PRNGKey(0)
     ctrl5 = (jnp.float32(noisy[0, 0]), jnp.float32(noisy[0, 1]))
-    st5, _ = slam_step(st5, k5, ctrl5, z5, jnp.float32(1.0),
-                       jnp.asarray(True), cfg5)   # compile + warm
+    st5, aux5 = run_scan(SlamState.create(cfg5), k5, ctrls5, zs5, dts5,
+                         cfg5, t65)               # compile + warm
     _ = np.asarray(st5.log_weights)
     t0 = time.time()
-    st5, aux5 = slam_step(st5, k5, ctrl5, z5, jnp.float32(1.0),
-                          jnp.asarray(True), cfg5)
+    st5, aux5 = run_scan(SlamState.create(cfg5), k5, ctrls5, zs5, dts5,
+                         cfg5, t65)
     _ = np.asarray(st5.log_weights)
-    ms65 = (time.time() - t0) * 1000
+    ms65 = (time.time() - t0) * 1000 / t65
     results["single_chip_65k"] = dict(
-        n_particles=p65, max_features=cfg5.maxFeatures,
-        ms_per_step=ms65, neff=float(np.asarray(aux5.neff)))
+        n_particles=p65, max_features=cfg5.maxFeatures, scan_steps=t65,
+        ms_per_step=ms65,
+        neff=float(np.asarray(aux5.neff[-1])))
 
     # (b) HLO collective inventory on the 8-virtual-device CPU mesh
     import re as _re
@@ -439,11 +448,15 @@ def main():
         "- Locality-preserving island resampling (parallel/island.py): "
         "per-chip local resample + butterfly ppermute exchange; validated "
         "on the same virtual mesh (tests/test_island.py).",
-        f"- Single-chip 65k-particle memory-headroom run (config-5 shape "
-        f"on ONE chip): {ms65:.1f} ms/step at 65536 particles x "
-        f"{cfg5.maxFeatures} features — the full multi-chip state fits "
-        "on a single chip with room to spare; per-chip load at 65k/8 = "
-        "8192 particles is the config-4 measurement.",
+        f"- Single-chip 65k-particle whole-run scan ({t65} steps, one "
+        f"dispatch — loopTime.log semantics): {ms65:.1f} ms/step at "
+        f"65536 particles x {cfg5.maxFeatures} features — the full "
+        "multi-chip state fits on a single chip with room to spare; "
+        "per-chip load at 65k/8 = 8192 particles is the config-4 "
+        "measurement. Multi-chip whole-run form: "
+        "parallel.mesh.sharded_run_scan (collectives inventory below; "
+        "tests/test_multichip_evidence.py::"
+        "test_sharded_run_scan_matches_single_device).",
         *hlo_lines, ""]
 
     with open("RESULTS.md", "w") as f:

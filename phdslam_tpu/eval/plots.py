@@ -114,7 +114,12 @@ def plot_error_curves(aggregates, out_path: str, labels=None):
     panels = [("pose_err", "pose error [m]")]
     if any("ospa_mean" in a for a in aggregates):
         panels += [("ospa", "OSPA(p=1,c=5)"), ("loc", "localization err"),
-                   ("card", "cardinality err")]
+                   ("card", "OSPA cardinality comp.")]
+    if any("card_err_mean" in a for a in aggregates):
+        # |E[n] - n_visited|: the filter's map-cardinality error vs the
+        # cumulative visited-landmark truth (reference logs the pmf for
+        # exactly this offline scoring, src/main.cpp:937-952)
+        panels += [("card_err", "|card est - visited|")]
     fig, axes = plt.subplots(len(panels), 1,
                              figsize=(8, 3.2 * len(panels)), squeeze=False)
     for ax, (key, ylab) in zip(axes[:, 0], panels):

@@ -78,6 +78,44 @@ def replicate_measurements(z: Measurements, mesh: Mesh) -> Measurements:
     return jax.device_put(z, replicated(mesh))
 
 
+def sharded_run_scan(cfg, mesh: Mesh, with_log_state: bool = False):
+    """Whole-dataset `lax.scan` with the particle axis sharded over the
+    mesh — the global-resample analog of parallel.island.island_run_scan
+    (one dispatch for the full run; the honest form for throughput
+    numbers, since loop-mode dispatch latency is excluded just as the
+    reference's loopTime.log measures the in-loop GPU time,
+    src/main.cpp:1300-1305).
+
+    Semantics are identical to filter.step.run_scan (it IS run_scan,
+    jitted with NamedSharding-pinned inputs/outputs): weight
+    normalization and nEff lower to all-reduces, the stratified global
+    resample's particle gather crosses devices, XLA inserts the
+    collectives.
+
+    Returns run(state, key, controls [T,2], zs (leading T), dts [T]) ->
+    (final_state, stacked StepAux[, stacked LogAux]).
+    """
+    from phdslam_tpu.filter.step import run_scan
+
+    rep = replicated(mesh)
+    if mesh.devices.flat[0].platform not in ("tpu",):
+        cfg = cfg.replace(usePallas=False)
+
+    dummy = SlamState.create(cfg)
+    st_shard = state_shardings(dummy, mesh)
+    z_rep = jax.tree.map(lambda _: rep, Measurements(rb=0, label=0, valid=0))
+
+    def run(state, key, controls, zs, dts):
+        return run_scan(state, key, controls, zs, dts, cfg,
+                        controls.shape[0], with_log_state=with_log_state)
+
+    return jax.jit(
+        run,
+        in_shardings=(st_shard, rep, rep, z_rep, rep),
+        donate_argnums=(0,),
+    )
+
+
 def sharded_step(cfg, mesh: Mesh):
     """Return a jit-compiled slam_step whose state inputs/outputs are pinned
     to the particle sharding (donated to avoid copies on the big maps)."""

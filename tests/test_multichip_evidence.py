@@ -172,3 +172,46 @@ def test_island_scaling_fixed_global_particles(imesh8):
     # within the particle-spread scale
     assert np.linalg.norm(p1[:2] - p8[:2]) < 2.0, (p1[:2], p8[:2])
     assert abs(float(jnp.exp(jax.scipy.special.logsumexp(ilw))) - 1.0) < 1e-3
+
+
+def test_sharded_run_scan_matches_single_device(mesh8):
+    """The whole-run sharded scan (global-resample path) must equal the
+    unsharded run_scan bit-for-bit-ish (same program, XLA-inserted
+    collectives) and its HLO must contain collectives."""
+    from phdslam_tpu.filter.step import run_scan
+    from phdslam_tpu.parallel.mesh import shard_state, sharded_run_scan
+
+    cfg = _tiny_cfg(64)
+    T = 6
+    rng = np.random.default_rng(1)
+    m = cfg.maxMeasurements
+    rb = np.zeros((T, m, 2), np.float32)
+    rb[:, :4, 0] = rng.uniform(1.0, cfg.maxRange, (T, 4))
+    rb[:, :4, 1] = rng.uniform(-cfg.maxBearing, cfg.maxBearing, (T, 4))
+    valid = np.zeros((T, m), bool)
+    valid[:, :4] = True
+    zs = Measurements(rb=jnp.asarray(rb),
+                      label=jnp.zeros((T, m), jnp.int32),
+                      valid=jnp.asarray(valid))
+    ctrl = np.zeros((T, 2), np.float32)
+    ctrl[:, 0] = 1.5
+    dts = jnp.full((T,), cfg.dt, jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    ref_final, ref_aux = run_scan(
+        SlamState.create(cfg), key, jnp.asarray(ctrl), zs, dts, cfg, T)
+
+    run = sharded_run_scan(cfg, mesh8)
+    st = shard_state(SlamState.create(cfg), mesh8)
+    out_final, out_aux = run(st, key, jnp.asarray(ctrl), zs, dts)
+
+    np.testing.assert_allclose(np.asarray(out_aux.expected_pose),
+                               np.asarray(ref_aux.expected_pose),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_final.log_weights),
+                               np.asarray(ref_final.log_weights),
+                               rtol=1e-5, atol=1e-5)
+
+    hlo = run.lower(st, key, jnp.asarray(ctrl), zs, dts).compile().as_text()
+    colls = _collective_lines(hlo)
+    assert "all-reduce" in colls, sorted(colls)
