@@ -340,9 +340,10 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
                           n_measure=n_measure)
 
 
-@partial(jax.jit, static_argnames=("cfg", "length"))
+@partial(jax.jit, static_argnames=("cfg", "length", "with_map_log"))
 def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
-                       cfg: SlamConfig, length: int):
+                       cfg: SlamConfig, length: int,
+                       with_map_log: bool = False):
     """Whole-dataset `lax.scan` over disparity_step (the SC-PHD analog of
     filter.step.run_scan): one dispatch for the full run — the honest
     per-step compute cost without the per-dispatch tunnel latency loop
@@ -350,8 +351,13 @@ def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
     contract (feature clouds are too large to stack per step; scan-mode
     disparity logs write an empty map line).
 
+    with_map_log additionally stacks the MAP particle's per-step world
+    feature summary (w [F], cloud means [F, 3] — O(F) per step, the
+    3-D map-OSPA scoring input; the full clouds stay step-local).
+
     zs_rb [T, M, 2]; zs_valid [T, M]. Returns (final_state,
-    (stacked DispAux, stacked (log_weights, poses, resample_idx)))."""
+    (stacked DispAux, stacked (log_weights, poses, resample_idx)
+    [, stacked (map_w, map_mean)]))."""
     keys = jax.random.split(key, length)
     t_idx = jnp.arange(length)
 
@@ -359,7 +365,13 @@ def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
         k, rb, valid, t = inp
         st, aux = disparity_step(st, k, rb, valid, jnp.float32(cfg.dt),
                                  t > 0, cfg)
-        return st, (aux, (st.log_weights, st.pose, st.resample_idx))
+        outs = (aux, (st.log_weights, st.pose, st.resample_idx))
+        if with_map_log:
+            idx = jnp.argmax(st.log_weights)
+            mean = jnp.stack([st.px[idx].mean(-1), st.py[idx].mean(-1),
+                              st.pz[idx].mean(-1)], axis=-1)    # [F, 3]
+            outs = outs + ((st.w[idx], mean),)
+        return st, outs
 
     return jax.lax.scan(body, state, (keys, zs_rb, zs_valid, t_idx))
 

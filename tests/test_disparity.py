@@ -265,3 +265,34 @@ def test_disparity_scan_mode(tmp_path):
     pose = np.fromstring(lines[0], sep=" ")
     assert pose.shape == (12,) and np.isfinite(pose).all()
     assert np.isfinite(res["poses"]).all()
+
+
+def test_disparity_scan_map_log(disp_cfg):
+    """run_disparity_scan(with_map_log=True) stacks the MAP particle's
+    per-step feature summary; the final step's summary must equal the
+    final state's cloud means/weights."""
+    from phdslam_tpu.filter.disparity import (DisparityState,
+                                              run_disparity_scan)
+
+    cfg = disp_cfg
+    rng = np.random.default_rng(5)
+    pts = np.array([[0.5, 0.3, 2.0], [-0.8, -0.2, 3.0], [0.2, -0.5, 2.5]])
+    T, m = 8, cfg.maxMeasurements
+    rb = np.zeros((T, m, 2), np.float32)
+    valid = np.zeros((T, m), bool)
+    for t in range(T):
+        z = _project_points(pts, np.zeros(12), cfg, rng)
+        k = min(len(z), m)
+        rb[t, :k] = z[:k]
+        valid[t, :k] = True
+    final, (auxs, _plog, (map_w, map_mean)) = run_disparity_scan(
+        DisparityState.create(cfg), jax.random.PRNGKey(0),
+        jnp.asarray(rb), jnp.asarray(valid), cfg, T, with_map_log=True)
+    assert map_w.shape == (T, cfg.maxFeatures)
+    assert map_mean.shape == (T, cfg.maxFeatures, 3)
+    p = int(np.argmax(np.asarray(final.log_weights)))
+    np.testing.assert_allclose(np.asarray(map_w[-1]),
+                               np.asarray(final.w[p]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(map_mean[-1, :, 0]),
+        np.asarray(final.px[p].mean(-1)), rtol=1e-5, atol=1e-5)
