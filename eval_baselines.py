@@ -54,7 +54,7 @@ def load_cv():
     return traj, ms
 
 
-def run_tpu(cfg, meas_sets, controls, T, seed=0):
+def run_tpu(cfg, meas_sets, controls, T, seed=0, with_log=False):
     import jax
     import jax.numpy as jnp
 
@@ -71,12 +71,16 @@ def run_tpu(cfg, meas_sets, controls, T, seed=0):
                       valid=jnp.asarray(valid))
     args = (SlamState.create(cfg), jax.random.PRNGKey(seed),
             jnp.asarray(ctrl), zs, jnp.full((T,), cfg.dt, jnp.float32))
-    final, auxs = run_scan(*args, cfg, T)      # compile + warm
-    _ = np.asarray(final.log_weights)          # force completion (the
+    out = run_scan(*args, cfg, T, with_log_state=with_log)  # compile+warm
+    _ = np.asarray(out[0].log_weights)         # force completion (the
     t0 = time.time()                           # tunnel's block_until_ready
-    final, auxs = run_scan(*args, cfg, T)      # is not reliable)
-    _ = np.asarray(final.log_weights)
+    out = run_scan(*args, cfg, T, with_log_state=with_log)  # is not
+    _ = np.asarray(out[0].log_weights)         # reliable)
     elapsed = time.time() - t0
+    if with_log:
+        final, (auxs, la) = out
+        return final, np.asarray(auxs.expected_pose), elapsed / T * 1000, la
+    final, auxs = out
     return final, np.asarray(auxs.expected_pose), elapsed / T * 1000
 
 
@@ -196,23 +200,49 @@ def main():
     # ---------- config 3: CPHD 1024 particles, EAP ----------
     T3 = 60 if QUICK else 150
     cfg3 = load_config("cfg/ackerman_synth.cfg").replace(
-        n_particles=1024, filterType=1, maxCardinality=63,
+        n_particles=1024, filterType=1, maxCardinality=127,
         gateBirths=True, gateThreshold=9.0, mapEstimate=2)
-    final3, poses3, ms3 = run_tpu(cfg3, ms, noisy, T3)
+    final3, poses3, ms3, la3 = run_tpu(cfg3, ms, noisy, T3, with_log=True)
     err3 = np.linalg.norm(poses3[:, :2] - traj[:2, :T3].T, axis=1)
-    cn = np.asarray(final3.cardinality)
+    # per-step cardinality error |E[n] - n_visited| vs the reference's own
+    # cumulative visited-landmark truth (sim.groundTruth[t].loc — the
+    # quantity the reference logs the cardinality pmf for,
+    # src/main.cpp:937-952)
+    cn = np.asarray(la3.cardinality)                     # [T, N+1]
     pmf = np.exp(cn - cn.max(axis=1, keepdims=True))
     pmf /= pmf.sum(axis=1, keepdims=True)
-    mean_cn = float((pmf * np.arange(pmf.shape[1])).sum(1).mean())
-    results["cphd_1024"] = dict(pose_mean=float(err3.mean()),
-                                ms_per_step=ms3, mean_cardinality=mean_cn)
+    e_n = (pmf * np.arange(pmf.shape[1])).sum(1)         # [T]
+    n_true = np.array([len(gt[t]) for t in range(T3)], float)
+    card_err = np.abs(e_n - n_true)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(8, 3.2))
+        ax.plot(e_n, label="E[n] (MAP particle)")
+        ax.plot(n_true, "k--", label="visited landmarks (truth)")
+        ax.set_xlabel("time step"); ax.set_ylabel("map cardinality")
+        ax.legend(); fig.tight_layout()
+        os.makedirs("results", exist_ok=True)
+        fig.savefig("results/cphd_card_curve.png", dpi=110)
+        card_plot = "results/cphd_card_curve.png"
+    except Exception:
+        card_plot = None
+    results["cphd_1024"] = dict(
+        pose_mean=float(err3.mean()), ms_per_step=ms3,
+        card_final_est=float(e_n[-1]), card_final_true=float(n_true[-1]),
+        card_err_mean=float(card_err.mean()),
+        card_err_final=float(card_err[-1]))
     lines += [
         "## Config 3 — CPHD, 1024 particles, EAP + cardinality",
         f"- steps: {T3}; mean pose error {err3.mean():.2f} m; "
         f"{ms3:.2f} ms/step",
-        f"- posterior cardinality mean {mean_cn:.2f} "
-        "(finite, normalized; matches a float64 oracle of the textbook "
-        "update to 4e-7 — tests/test_cphd.py)",
+        f"- cardinality vs truth: final E[n] = {e_n[-1]:.1f} vs "
+        f"{n_true[-1]:.0f} visited landmarks; per-step |E[n] - n_true| "
+        f"mean {card_err.mean():.1f}, final {card_err[-1]:.1f} "
+        f"(curve: {card_plot}; E[n] == intensity integral exactly — "
+        "CPHD consistency, fixed round 3: full-map Psi inner products, "
+        "see PARITY.md)",
         ""]
 
     # ---------- Monte-Carlo OSPA envelopes (batch methodology) ----------
@@ -458,6 +488,132 @@ def main():
         "tests/test_multichip_evidence.py::"
         "test_sharded_run_scan_matches_single_device).",
         *hlo_lines, ""]
+
+    # ---------- round-3 evidence (scripts/round3_evidence.py + ----------
+    # scripts/disparity_evidence.py + scripts/tpu_profile.py outputs;
+    # folded in when present so RESULTS regeneration keeps them)
+    ev = {}
+    if os.path.exists("results/round3_evidence.json"):
+        with open("results/round3_evidence.json") as f:
+            ev = json.load(f)
+    if ev:
+        results["round3_evidence"] = ev
+    if "vmap" in ev:
+        v = ev["vmap"]
+        lines += [
+            "## Monte-Carlo batch engine — vmapped run axis "
+            "(SURVEY 7.2-11)",
+            f"- {v['n_runs']} runs x {v['steps']} steps, 256 particles, "
+            f"warm: vmapped {v['wall_s_vmapped']} s vs sequential "
+            f"whole-run-scan-per-run {v['wall_s_sequential']} s "
+            f"(vmapped/sequential speedup {v['speedup']}x); identical "
+            "seeds, pose-envelope max deviation "
+            f"{v['pose_envelope_max_abs_dev_m']} m",
+            "- MEASURED RESULT: at the headline shape the sequential "
+            "scan-per-run path wins and is the default — under vmap, "
+            "cond-resampling lowers to select (full-map gather every "
+            "step) and the merge while_loop runs to the batch's "
+            "worst-case trip count (see eval/batch.py docstring). Both "
+            "paths replace python/batch_run.py's process-per-run (one "
+            "compiled scan, no per-step host round trips).",
+            *([f"- small-particle crossover probe: {v['small_p_probe']}"]
+              if v.get("small_p_probe") else []),
+            ""]
+    if "merge_modes" in ev:
+        mm = ev["merge_modes"]
+        lines += [
+            "## Merge modes — exact greedy vs fast (merge_mode=1)",
+            f"- {mm['n_runs']}-run MC envelopes "
+            "(results/merge_mode_envelopes.png): late-half OSPA "
+            f"exact {mm['exact_merge']['ospa_late_mean']:.2f} +- "
+            f"{mm['exact_merge']['ospa_late_std']:.2f} vs fast "
+            f"{mm['fast_merge']['ospa_late_mean']:.2f} +- "
+            f"{mm['fast_merge']['ospa_late_std']:.2f} — "
+            + ("within one std"
+               if mm.get("within_one_std") else "OUTSIDE one std")
+            + "; fast mode prunes sub-merge_min_weight candidates with "
+            "mass renormalization before the greedy merge (documented "
+            "deviation, exact stays the default; dense-step speed in "
+            "config 4)",
+            ""]
+    if "variants" in ev:
+        va = ev["variants"]
+        lines += [
+            "## Filter-variant comparison (the reference batch harness's "
+            "purpose, SURVEY 4.2)",
+            f"- {va['n_runs']} runs x {va['steps']} steps each, equal "
+            "particle counts (256); results/variant_envelopes.png",
+            f"- PHD:  late-half OSPA {va['PHD']['ospa_late_mean']:.2f} "
+            f"+- {va['PHD']['ospa_late_std']:.2f}, pose "
+            f"{va['PHD']['pose_late_mean']:.2f} m, |card err| "
+            f"{va['PHD'].get('card_err_late_mean', float('nan')):.1f}",
+            f"- CPHD: late-half OSPA {va['CPHD']['ospa_late_mean']:.2f} "
+            f"+- {va['CPHD']['ospa_late_std']:.2f}, pose "
+            f"{va['CPHD']['pose_late_mean']:.2f} m, |card err| "
+            f"{va['CPHD'].get('card_err_late_mean', float('nan')):.1f}",
+            f"- PHD weighting 1 (cluster-process; base is scheme 0): "
+            f"late-half OSPA {va['PHD_w1']['ospa_late_mean']:.2f} +- "
+            f"{va['PHD_w1']['ospa_late_std']:.2f}, pose "
+            f"{va['PHD_w1']['pose_late_mean']:.2f} m",
+            ""]
+    if "parity_config2" in ev:
+        pc = ev["parity_config2"]
+        lines += [
+            "### Config-2 statistical parity envelope "
+            "(results/parity_envelopes.png)",
+            f"- {pc['n_runs']} seeds x {pc['steps']} steps at "
+            f"{pc['n_particles']} particles, identical config both "
+            f"engines: TPU late-half pose error "
+            f"{pc['tpu_pose_late_mean']} m vs CPU reference "
+            f"{pc['cpu_pose_late_mean']} +- {pc['cpu_pose_late_std']} m "
+            + ("(within one std)" if pc.get("within_one_std")
+               else "(OUTSIDE one std)")
+            + f"; CPU {pc['cpu_ms_per_step']} ms/step",
+            ""]
+    if "cphd_cpu_oracle" in ev:
+        co = ev["cphd_cpu_oracle"]
+        lines += [
+            "### CPHD CPU oracle (dynamic-shape float64, "
+            "reference_cpu.py filterType=1)",
+            f"- {co['n_particles']} particles x {co['steps']} steps: CPU "
+            f"{co['cpu_ms_per_step']} ms/step (the config-3 denominator; "
+            "linear-in-P extrapolation as for configs 1/2), pose "
+            f"{co['cpu_pose_mean']} m vs TPU {co['tpu_pose_mean']} m; "
+            f"final cardinality CPU {co['cpu_card_final']} / TPU "
+            f"{co['tpu_card_final']} vs {co['visited_final']} visited",
+            ""]
+    if "disparity" in ev:
+        dv = ev["disparity"]
+        lines += [
+            "## Disparity (monocular SC-PHD) — re-noised MC envelope",
+            f"- {dv['n_runs']} runs x {dv['steps']} steps "
+            "(results/disparity_envelopes.png): camera position error "
+            f"mean {dv['pose_mean']} m, final "
+            f"{dv['pose_final_mean']} +- {dv['pose_final_std']} m",
+            f"- 3-D feature-map OSPA(p=1,c=1) vs the "
+            f"{dv['n_landmarks']} shipped landmarks: late-half mean "
+            f"{dv['ospa_late_mean']}, final {dv['ospa_final_mean']}; "
+            f"final map cardinality {dv['card_final_mean']}",
+            f"- {dv['ms_per_step']} ms/step (whole-run scan)",
+            ""]
+    if os.path.exists("results/stage_profile.json"):
+        with open("results/stage_profile.json") as f:
+            sp = json.load(f)
+        results["stage_profile"] = sp
+        lines += [
+            "## Where the dense step goes (scripts/tpu_profile.py, "
+            "per-stage host-fetch-synced timings)",
+            "| stage | ms |", "|---|---|"]
+        lines += [f"| {k} | {v} |" for k, v in sp.items()]
+        lines += [
+            "",
+            "- The greedy merge's data-dependent trip count dominates "
+            "the exact-mode dense step; per-trip cost sits at the VPU "
+            "reduction roofline (builder attribution, round 2: "
+            "minFeatureWeight=1e-3 -> 24 ms, minSeparation=1 -> 98 ms). "
+            "merge_mode=1 removes sub-threshold candidates and with them "
+            "most trips.",
+            ""]
 
     with open("RESULTS.md", "w") as f:
         f.write("\n".join(lines))

@@ -11,15 +11,27 @@ all runs execute in a single `lax.scan` by stacking the run axis into the
 particle axis blockwise (runs are independent, so the particle axis simply
 carries R*P particles whose weights normalize per run).
 
-Monte-Carlo runs are a vmapped leading axis over the whole-run scan
-(``vmapped=True``, the default): runs are independent, and vmap preserves
-per-run semantics exactly — weight normalization, nEff, and resampling all
-reduce over the particle axis only, which stays intact inside the batch.
-Each run keeps the same PRNG key it gets on the sequential path
+Monte-Carlo runs can ride a vmapped leading axis over the whole-run scan
+(``vmapped=True``): runs are independent, and vmap preserves per-run
+semantics exactly — weight normalization, nEff, and resampling all reduce
+over the particle axis only, which stays intact inside the batch. Each
+run keeps the same PRNG key it gets on the sequential path
 (``PRNGKey(seed + run)``), so the two paths compute the same filter runs;
-memory is bounded by chunking the run axis (``vmap_chunk``). The
-sequential path (``vmapped=False``) remains as the low-memory fallback and
-the parity anchor (tests/test_round3.py::test_vmapped_batch_matches_sequential).
+memory is bounded by chunking the run axis (``vmap_chunk``).
+
+MEASURED (round 3, v5e chip, 50 runs x 331 steps x 256 particles, warm):
+sequential 33.3 s, vmapped 107.8 s — the sequential whole-run-scan path
+is ~3x FASTER at the headline shape and is therefore the default. Two
+structural reasons: (a) under a batched predicate, ``lax.cond`` lowers to
+``select``, so the resampling branch's full-map gather executes on EVERY
+step for ALL runs instead of only on nEff-triggered steps; (b) the greedy
+merge's data-dependent ``while_loop`` runs to the WORST-CASE trip count
+across the whole batch each step, and its per-trip VPU reductions are
+bandwidth-bound, so widening the batch scales trip cost ~linearly. The
+vmapped axis wins only when per-run work underutilizes the chip (small
+particle counts); see results/round3_evidence.json["vmap"] for the
+crossover probe. The sequential path is also the parity anchor
+(tests/test_round3.py::test_vmapped_batch_matches_sequential).
 """
 
 from __future__ import annotations
@@ -179,19 +191,20 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
               control_noise=(0.2, 0.01), seed: int = 0,
               out_dir: Optional[str] = None,
               collect_maps_every: int = 1,
-              vmapped: bool = True,
+              vmapped: bool = False,
               vmap_chunk: int = 0) -> List[RunResult]:
     """Monte-Carlo batch: `n_runs` independent re-noisings of `scenario`
     (a simdata.Scenario), each filtered end-to-end. Returns per-run
     results; optionally writes metrics JSONL.
 
-    vmapped=True (default) stacks runs on a leading vmap axis over the
-    whole-run scan — one dispatch filters a whole chunk of runs
-    (SURVEY §7.2-11; replaces the reference's process-per-run
-    python/batch_run.py). vmap_chunk bounds device memory (0 = auto: cap
-    the in-flight particle count at 65536, the measured single-chip
-    headroom shape). Per-run PRNG keys and noise seeds are identical on
-    both paths.
+    vmapped=True stacks runs on a leading vmap axis over the whole-run
+    scan — one dispatch filters a whole chunk of runs (SURVEY §7.2-11).
+    Default is the sequential whole-run-scan-per-run path, which is
+    MEASURED FASTER at >=256 particles (see the module docstring for the
+    numbers and the two structural reasons). vmap_chunk bounds device
+    memory (0 = auto: cap the in-flight particle count at 65536, the
+    measured single-chip headroom shape). Per-run PRNG keys and noise
+    seeds are identical on both paths.
 
     collect_maps_every=k scores map OSPA (vs the cumulative visited-landmark
     truth) every k steps; 0 disables map scoring (pose error only)."""

@@ -92,6 +92,27 @@ def phase_vmap():
     pe_v = np.stack([r.pose_err for r in results["vmapped"]]).mean(0)
     pe_s = np.stack([r.pose_err for r in results["sequential"]]).mean(0)
     max_dev = float(np.max(np.abs(pe_v - pe_s)))
+
+    # crossover probe: at small particle counts per-run work underutilizes
+    # the chip and the vmapped axis should win; at the headline 256p the
+    # sequential path wins (cond->select resampling + worst-case merge
+    # trips under vmap — see eval/batch.py module docstring)
+    probe = {}
+    for p_small in (32,):
+        cfg_s = cfg.replace(n_particles=p_small)
+        tt = {}
+        for label, vmapped in (("vmapped", True), ("sequential", False)):
+            for i in range(2):
+                t0 = time.time()
+                run_batch(cfg_s, sc, n_runs=n_runs,
+                          control_noise=(0.2, 0.01), vmapped=vmapped,
+                          collect_maps_every=0)
+                tt[label] = time.time() - t0
+        probe[f"p{p_small}"] = dict(
+            vmapped_s=round(tt["vmapped"], 1),
+            sequential_s=round(tt["sequential"], 1),
+            speedup=round(tt["sequential"] / tt["vmapped"], 2))
+
     _merge_json(dict(vmap=dict(
         n_runs=n_runs, steps=sc.traj.shape[0],
         wall_s_vmapped=round(times["vmapped"][1], 1),
@@ -99,7 +120,8 @@ def phase_vmap():
         wall_s_cold=dict(vmapped=round(times["vmapped"][0], 1),
                          sequential=round(times["sequential"][0], 1)),
         speedup=round(times["sequential"][1] / times["vmapped"][1], 2),
-        pose_envelope_max_abs_dev_m=round(max_dev, 4))))
+        pose_envelope_max_abs_dev_m=round(max_dev, 4),
+        small_p_probe=probe)))
 
 
 def phase_merge():
@@ -144,11 +166,13 @@ def phase_variants():
     sc = _scenario(n_steps=40 if QUICK else 200)
     n_runs = 4 if QUICK else 20
 
+    # base cfg is particleWeighting=0 (empty-map scheme, the cfg default);
+    # the comparison arm is scheme 1 (Vo's cluster-process weighting)
     runs = [
         ("PHD", cfg),
         ("CPHD", cfg.replace(filterType=1, maxCardinality=127,
                              gateBirths=True, gateThreshold=4.0)),
-        ("PHD w0", cfg.replace(particleWeighting=0)),
+        ("PHD w1", cfg.replace(particleWeighting=1)),
     ]
     aggs, labels, out = [], [], {}
     for label, c in runs:

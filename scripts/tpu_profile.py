@@ -15,6 +15,8 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tpu")
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +27,7 @@ ensure_backend()
 
 QUICK = "--quick" in sys.argv
 REPS = 3 if QUICK else 5
+RECORD = {}   # name -> ms; dumped to results/stage_profile.json
 
 
 def timeit(name, fn, *args, fetch=None):
@@ -41,7 +44,8 @@ def timeit(name, fn, *args, fetch=None):
         out = fn(*args)
     sync(out)
     ms = (time.time() - t0) / REPS * 1000
-    print(f"{name:44s} {ms:9.2f} ms")
+    print(f"{name:44s} {ms:9.2f} ms", flush=True)
+    RECORD[name] = round(ms, 2)
     return ms
 
 
@@ -87,6 +91,8 @@ def main():
                                    jnp.asarray(True), c)
         timeit(f"{tag}: slam_step static (pallas)", step, cfg)
         timeit(f"{tag}: slam_step static (xla)", step, cfgx)
+        timeit(f"{tag}: slam_step static (pallas, fast merge)", step,
+               cfg.replace(mergeMode=1))
 
         if tag == "typical" or not QUICK:
             cfgc = cfg.replace(filterType=1, maxCardinality=63,
@@ -130,6 +136,11 @@ def main():
         timeit("disparity_step (P=128, F=64)", stepd)
     except Exception as e:
         print(f"disparity timing skipped: {e}")
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/stage_profile.json", "w") as f:
+        json.dump(RECORD, f, indent=1)
+    print("wrote results/stage_profile.json")
 
 
 if __name__ == "__main__":
