@@ -123,3 +123,33 @@ def test_render_log_frames(tiny_cfg, tmp_path):
     assert n == 2
     assert os.path.exists(tmp_path / "frame_00000.png")
     assert os.path.exists(tmp_path / "frame_00001.png")
+
+
+def test_html_player_build(tmp_path, tiny_cfg):
+    """build_player bundles a log dir into a standalone HTML file with
+    parseable embedded frames (the interactive-replay counterpart of
+    python/plot_phdslam.py:219-228, headless-compatible)."""
+    import json
+    import re
+
+    import numpy as np
+
+    from phdslam_tpu.eval.player import build_player
+    from phdslam_tpu.io import logs
+
+    for t in range(3):
+        logs.write_state_estimate_log(
+            str(tmp_path), t, np.arange(6, dtype=float),
+            np.array([1.0, 0.5]), np.array([[1.0, 2.0], [3.0, 4.0]]),
+            np.tile(np.eye(2) * 0.1, (2, 1, 1)),
+            particle_log_weights=np.full(4, -np.log(4)),
+            particle_poses=np.zeros((4, 6)),
+            resample_idx=np.arange(4),
+            max_cardinality=tiny_cfg.maxCardinality)
+    out = build_player(str(tmp_path))
+    html = open(out).read()
+    d = json.loads(re.search(r"const DATA = (\{.*?\});\n", html,
+                             re.S).group(1))
+    assert len(d["frames"]) == 3
+    assert len(d["frames"][0]["map"]) == 2
+    assert d["frames"][0]["card"] == 1.5   # intensity mass (PHD log)
