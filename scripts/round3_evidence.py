@@ -171,7 +171,7 @@ def phase_variants():
     runs = [
         ("PHD", cfg),
         ("CPHD", cfg.replace(filterType=1, maxCardinality=127,
-                             gateBirths=True, gateThreshold=4.0)),
+                             gateBirths=True, gateThreshold=9.0)),
         ("PHD w1", cfg.replace(particleWeighting=1)),
     ]
     aggs, labels, out = [], [], {}
