@@ -169,6 +169,17 @@ class SlamConfig:
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
                                 # the process default backend
+    cnPoissonPredict: bool = True  # CPHD predicted-cardinality prior:
+                                # True (default) rebuilds it as Poisson of
+                                # the full-map intensity mass each step —
+                                # the reference's LIVE behavior (the host
+                                # loop at phdfilter.cu.bak:2473-2497
+                                # overwrites the cardinalityPredictKernel
+                                # convolution before the update reads it).
+                                # False propagates the posterior through
+                                # the birth convolution instead (the
+                                # kernel the reference computes but never
+                                # uses).
 
     # ---- derived ----
     clutterDensity: float = dataclasses.field(default=0.0)
@@ -232,6 +243,7 @@ _KEY_MAP = {
     "daughter_mixture_type": "daughterMixtureType",
     "n_samples": "nSamples",
     "max_cardinality": "maxCardinality",
+    "cn_poisson_predict": "cnPoissonPredict",
     "filter_type": "filterType",
     "map_estimate": "mapEstimate",
     "cphd_disttype": "cphdDistType",

@@ -55,11 +55,14 @@ class RunResult:
     ospa: np.ndarray           # [T, 3] (ospa, loc, card) or NaN if no gt map
     neff: np.ndarray           # [T]
     ms_per_step: float
-    card_est: Optional[np.ndarray] = None   # [T] estimated map cardinality:
-    #   CPHD -> E[n] of the MAP particle's posterior cardinality pmf;
-    #   PHD  -> sum of the MAP particle's GM weights (the PHD intensity
-    #   integral; the reference logs the same statistic, main.cpp:937-952)
+    card_est: Optional[np.ndarray] = None   # [T] estimated total-map
+    #   cardinality: sum of the MAP particle's GM weights (the intensity
+    #   integral) for BOTH filter types (the reference logs the weight
+    #   list + cardinality pmf for offline scoring, main.cpp:937-952)
     card_true: Optional[np.ndarray] = None  # [T] visited-landmark count
+    card_en: Optional[np.ndarray] = None    # [T] CPHD only: E[n] of the
+    #   MAP particle's posterior pmf — the in-range-submap cardinality
+    #   statistic (see cphd.psi_terms), kept for diagnostics
 
 
 def analyze_run(poses, true_traj, map_estimates=None, true_maps=None,
@@ -145,20 +148,24 @@ def _analyze_one(run: int, poses, auxs_neff, log_auxs, true_maps,
     optional metrics JSONL line."""
     t_len = scenario.traj.shape[0]
     pose_err, _ = analyze_run(poses, scenario.traj)
-    card_est = card_true = None
+    card_est = card_true = card_en = None
     if log_auxs is not None:
         ospa = _map_ospa_curve(log_auxs, true_maps,
                                collect_maps_every, t_len)
-        # estimated vs true map cardinality per step (the reference logs
-        # the cardinality distribution for offline scoring,
-        # src/main.cpp:937-952): CPHD -> E[n]; PHD -> intensity mass
+        # Total-map cardinality estimate = the MAP particle's intensity
+        # mass, for BOTH filter types. The CPHD posterior pmf is the
+        # in-range-submap statistic (the reference updates it against
+        # in-FOV evidence only, phdfilter.cu.bak:2536-2541 — see
+        # cphd.psi_terms); its E[n] tracks the currently-detectable
+        # count, not the accumulated map, so it is kept separately.
+        card_est = np.asarray(log_auxs.map_w).sum(-1)[:t_len]
         cn = np.asarray(log_auxs.cardinality)            # [T, N+1] or [T, 1]
         if cn.shape[-1] > 1:
             pmf = np.exp(cn - cn.max(-1, keepdims=True))
             pmf /= pmf.sum(-1, keepdims=True)
-            card_est = (pmf * np.arange(cn.shape[-1])).sum(-1)[:t_len]
+            card_en = (pmf * np.arange(cn.shape[-1])).sum(-1)[:t_len]
         else:
-            card_est = np.asarray(log_auxs.map_w).sum(-1)[:t_len]
+            card_en = None
         if true_maps is not None:
             card_true = np.asarray(
                 [len(true_maps[min(t, len(true_maps) - 1)])
@@ -167,7 +174,8 @@ def _analyze_one(run: int, poses, auxs_neff, log_auxs, true_maps,
         ospa = np.full((t_len, 3), np.nan)
     result = RunResult(poses=poses, pose_err=pose_err, ospa=ospa,
                        neff=auxs_neff, ms_per_step=ms_per_step,
-                       card_est=card_est, card_true=card_true)
+                       card_est=card_est, card_true=card_true,
+                       card_en=card_en)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         scored = ospa[np.isfinite(ospa[:, 0])]

@@ -228,16 +228,19 @@ def psi_terms(sum_l, qdw, w, valid_mask, z_valid, cn_predict,
     qdw [P,F] log((1-pd_f) w) with the PER-FEATURE pd (0 outside the
     FOV); w [P,F] linear; cn_predict [P,N+1] log.
 
-    valid_mask [P,F] marks features that EXIST (w > 0), NOT the in-FOV
-    subset: per the reference (computePsiKernel .bak:1306-1342 reduces
-    qdw/wsum over the particle's whole map; cphdPreUpdateKernel
-    .bak:1183 writes qdw = log(1-featurePd)+log(w) with featurePd = 0
-    out of range), out-of-FOV features contribute their full mass to
-    <q_D,w> and <1,w>. Restricting these inner products to the in-FOV
-    subset makes psi(n) treat all n map features as detectable, which
-    multiplies in an e^{n log(1-pd)} penalty and collapses the posterior
-    cardinality to ~|Z| on any map larger than the FOV (the round-2
-    "posterior mean 1.02 on 80 landmarks" failure).
+    valid_mask [P,F] marks the features the CPHD machinery operates on.
+    The reference launches every CPHD kernel on the in-range SUBMAP
+    (dev_maps_inrange: rclass != 0, i.e. in-range + nearly-in-range
+    features; .bak:2199-2273), so <q_D,w> and <1,w> are submap sums —
+    pass set_mask = (w > 0) & (rclass != 0). Within the set, qdw carries
+    the per-feature pd (cphdPreUpdateKernel .bak:1183 writes
+    qdw = log(1-featurePd)+log(w) with featurePd = 0 for nearly-in-range
+    features). The resulting posterior cn is the submap-evidence-
+    reweighted prior: with the Poisson full-map prior the reference
+    rebuilds each step (.bak:2473-2497) it concentrates near the
+    CURRENTLY-DETECTABLE feature count, not the total map size — the
+    total-map cardinality estimate is the intensity mass, which the
+    caller preserves exactly via the out-of-range passthrough.
     """
     P, M = sum_l.shape
     ncard = cn_predict.shape[-1]
@@ -418,6 +421,11 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     """Full CPHD measurement update: Kalman pre-update (shared with the PHD
     path), ESF/Psi machinery, weight scaling, merge, cardinality posterior.
 
+    cn_predict [P,N+1] is the carried (convolution-propagated) prior; it
+    is only consumed when cfg.cnPoissonPredict is False. The default
+    rebuilds the prior as Poisson(full-map mass), matching the
+    reference's live host flow (.bak:2473-2497).
+
     Returns (map_out, cn_update, log_weight_delta).
     """
     P, F = gm.w.shape
@@ -426,9 +434,42 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     pre = kalman_preupdate(pose, gm, cfg)
     in_mask = pre.rclass == 1
     valid_mask = gm.w > 0                                       # [P,F]
-    qdw = safe_log(1.0 - pre.pd) + safe_log(gm.w)               # [P,F]
+    # The reference's CPHD update operates on the in-range SUBMAP only:
+    # the host driver splits each map into rclass!=0 features (in-range +
+    # nearly-in-range) and the out-of-range remainder, launches every
+    # CPHD kernel on dev_maps_inrange alone, and recombines the updated
+    # submap with the UNTOUCHED out-of-range features afterwards
+    # (.bak:2199-2273 split, .bak:2546-2580 recombine). Out-of-FOV
+    # features therefore keep their weights verbatim — scaling the whole
+    # map by the global exp(ip1-ip0) < 1 ratio every step (what this
+    # function did before) leaks all out-of-FOV mass within a few steps.
+    set_mask = valid_mask & (pre.rclass != 0)                   # [P,F]
+    qdw = jnp.where(set_mask,
+                    safe_log(1.0 - pre.pd) + safe_log(gm.w), NEG_INF)
     minw = cfg.minFeatureWeight
     k1 = min(8, F)
+
+    if cfg.cnPoissonPredict:
+        # Predicted-cardinality prior: Poisson pmf of the IN-RANGE
+        # submap's post-birth intensity mass, rebuilt on every step.
+        # The reference's live flow rebuilds a Poisson prior each step
+        # too (.bak:2473-2497 — the cardinalityPredictKernel convolution
+        # is computed but overwritten before use), and its dedicated
+        # separateCardinalityKernel (.bak:986-1046, the exact
+        # Poisson-binomial of the submap weights) shows the prior is
+        # meant to describe the submap the Psi machinery operates on.
+        # Using the FULL-map mass here while the ESF/Psi evidence covers
+        # only the in-range submap makes exp(ip1d - ip0) blow up as the
+        # map outgrows the FOV (measured: intensity mass 1777 on an
+        # 80-landmark scenario by step 40); the submap-consistent prior
+        # keeps every scale normalized.
+        w_sum = jnp.sum(jnp.where(set_mask, gm.w, 0.0), axis=-1)    # [P]
+        ncard = consts.log_factorial.shape[0]
+        n_idx = jnp.arange(ncard)
+        cn_predict = (n_idx[None, :] * safe_log(w_sum)[:, None]
+                      - w_sum[:, None] - consts.log_factorial[None, :])
+        cn_predict = cn_predict - jax.scipy.special.logsumexp(
+            cn_predict, axis=-1, keepdims=True)
 
     use_pallas = (cfg.usePallas
                   and jax.default_backend() in ("tpu", "axon"))
@@ -453,25 +494,28 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         sum_l = jax.scipy.special.logsumexp(
             jnp.where(in_mask[:, None, :], lw, NEG_INF), axis=-1)
 
-    terms = psi_terms(sum_l, qdw, gm.w, valid_mask, z_valid, cn_predict,
+    terms = psi_terms(sum_l, qdw, gm.w, set_mask, z_valid, cn_predict,
                       consts, cfg)
 
     # weights (cphdUpdateKernel): no per-measurement normalizer — the Psi
-    # inner products play that role. The non-detection scale applies to
-    # EVERY feature (qdw already carries the per-feature (1-pd_f): out-of-
-    # FOV features keep their full mass times the global Psi ratio,
-    # .bak:1463-1477 — there is no in-FOV passthrough split in CPHD mode).
+    # inner products play that role. The non-detection scale
+    # (1-pd_f) * exp(ip1-ip0) applies to the in-range SET only; out-of-
+    # range features pass through with their weights unchanged (the
+    # reference recombines them verbatim, .bak:2546-2580). Within the
+    # set, qdw carries the per-feature pd — nearly-in-range features
+    # (pd=0) keep full mass times the global Psi ratio, which is the
+    # reference's cphdUpdateKernel behavior modulo its use of the config
+    # pd for every set feature (.bak:1469-1471, documented deviation).
     w_nondetect = jnp.where(
-        valid_mask,
-        jnp.exp(qdw + terms.scale_nondetect[:, None]), 0.0)
+        set_mask, jnp.exp(qdw + terms.scale_nondetect[:, None]),
+        jnp.where(valid_mask, gm.w, 0.0))
 
     # prune + pool + merge. Same sectioned, gather-free layout as the PHD
     # path (filter/update.py): [originals F | per-measurement top-k1
-    # detections M*k1]; the merge output IS the new map. Every existing
-    # feature sits in the originals section with its non-detection weight
-    # (out-of-FOV features: (1-pd_f)=1, scaled by the global Psi ratio
-    # only). CPHD births entered the map pre-update (add_births), so
-    # there is no birth section.
+    # detections M*k1]; the merge output IS the new map (the reference
+    # merges the recombined in+out map in one pass too, .bak:2580-2613).
+    # CPHD births entered the map pre-update (add_births), so there is
+    # no birth section.
     w_sec1 = jnp.where(w_nondetect >= minw, w_nondetect, 0.0)
 
     if use_pallas:

@@ -90,9 +90,12 @@ def _run_prediction(state: SlamState, k_pred, control, dt, do_predict,
         keys = jax.random.split(k_pred, sub)
         for i in range(sub):
             st = predict(keys[i], st, control, cfg, dt / sub)
-        if is_cphd:
-            # cardinality prediction (phdPredict CPHD branch,
-            # src/phdfilter.cu.bak:564-612)
+        if is_cphd and not cfg.cnPoissonPredict:
+            # cardinality prediction by birth convolution (phdPredict CPHD
+            # branch, src/phdfilter.cu.bak:564-612). The reference computes
+            # this but its update overwrites the result with a Poisson
+            # rebuild (.bak:2473-2497), so under the default
+            # cnPoissonPredict=True we skip the (discarded) convolution.
             from phdslam_tpu.filter import cphd as C
             st = st.replace(cardinality=C.cardinality_predict(
                 st.cardinality, st.cn_birth))

@@ -36,6 +36,7 @@ pipeline (live in src/phdfilter.cu.bak):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from math import lgamma
 from typing import List, Optional
 
 import numpy as np
@@ -445,6 +446,12 @@ def cphd_update(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig):
         bearing = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
         in_m = (r >= cfg.minRange) & (r <= cfg.maxRange) \
             & (np.abs(bearing) <= cfg.maxBearing)
+        # the CPHD kernels run on the in-range submap only (rclass != 0:
+        # in-range + nearly-in-range, .bak:2199-2273); out-of-range
+        # features are recombined untouched afterwards (.bak:2546-2580)
+        set_m = in_m | ((r >= 0.8 * cfg.minRange)
+                        & (r <= 1.2 * cfg.maxRange)
+                        & (np.abs(bearing) <= 1.2 * cfg.maxBearing))
         pd = np.where(in_m, cfg.pd, 0.0)
 
         # Kalman pre-update terms for in-FOV features
@@ -486,16 +493,43 @@ def cphd_update(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig):
                     + np.einsum("fij,fj->fi", K, innov)
 
         # Psi machinery: Lambda_m = lam_c/kappa * <pd w N(z)> (log,
-        # unnormalized; psi applies the <1,w>^-j factor)
+        # unnormalized; psi applies the <1,w>^-j factor). The <q_D,w>
+        # and <1,w> inner products are over the in-range SUBMAP, the set
+        # every CPHD kernel receives (computePsiKernel gets
+        # dev_maps_inrange, .bak:2536-2541).
+        wsum_set = p.w[set_m].sum()
+        if wsum_set <= 0:
+            # empty submap: nothing detectable — no update evidence; the
+            # reference's kernels process a 0-length map (out-of-range
+            # features recombine untouched, cardinality prior kept)
+            if cfg.cnPoissonPredict:
+                n_idx = np.arange(len(p.cn))
+                cn_p = n_idx * np.log(max(wsum, 1e-300)) - wsum \
+                    - np.array([lgamma(n + 1.0) for n in n_idx])
+                p.cn = cn_p - _logsumexp(cn_p)
+            continue
         lam_log = _logsumexp(lw, axis=1) + np.log(cfg.clutterRate) \
             - np.log(kappa)
-        qdw_ip = _logsumexp(np.log(((1 - pd) * p.w).clip(1e-300)))
+        qdw_ip = _logsumexp(
+            np.log(((1 - pd[set_m]) * p.w[set_m]).clip(1e-300)))
+        if cfg.cnPoissonPredict:
+            # Poisson prior of the IN-RANGE submap mass, rebuilt every
+            # step (submap-consistent with the Psi evidence; see
+            # cphd.cphd_update for why the full-map mass diverges)
+            n_idx = np.arange(len(p.cn))
+            cn_p = n_idx * np.log(max(wsum_set, 1e-300)) - wsum_set \
+                - np.array([lgamma(n + 1.0) for n in n_idx])
+            cn_prior = cn_p - _logsumexp(cn_p)
+        else:
+            cn_prior = p.cn
         psi0, ip0, ip1, ip1d = _cphd_psi(
-            lam_log, qdw_ip, np.log(wsum), p.cn, m_count, cfg)
+            lam_log, qdw_ip, np.log(wsum_set), cn_prior, m_count, cfg)
 
         # weight updates (cphdUpdateKernel; per-feature pd in the
-        # non-detection scale — deliberate fix of .bak:1469-1471)
-        w_nd = (1 - pd) * p.w * np.exp(ip1 - ip0)
+        # non-detection scale — deliberate fix of .bak:1469-1471).
+        # In-range-set features get the (1-pd) * Psi-ratio scale;
+        # out-of-range features pass through verbatim (.bak:2546-2580)
+        w_nd = np.where(set_m, (1 - pd) * p.w * np.exp(ip1 - ip0), p.w)
         comps_w = [w_nd]
         comps_mu = [p.mean]
         comps_P = [p.cov]
@@ -512,8 +546,9 @@ def cphd_update(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig):
         # particle weight increment = <Psi0, cn> (.bak:2663-2668)
         p.log_weight += float(ip0)
 
-        # cardinality posterior
-        cn_up = p.cn + psi0 - ip0
+        # cardinality posterior (from the step's prior — Poisson-rebuilt
+        # under cnPoissonPredict, carried otherwise)
+        cn_up = cn_prior + psi0 - ip0
         p.cn = cn_up - _logsumexp(cn_up)
 
         # prune + merge (whole map: the CPHD path has no in/near/out

