@@ -7,8 +7,12 @@ src/phdfilter.cu:700-1822). Per Vo's analytic CPHD:
   constants    initCphdConstants / cphdConstantsKernel (.bak:370-449):
                log factorials, log binomial table, Poisson clutter
                cardinality
-  predict      cardinalityPredictKernel (.bak:512-545): log-domain
-               convolution of prior cardinality with birth cardinality
+  predict      default: per-step Poisson prior of the in-range submap
+               mass (the reference's live flow also rebuilds a Poisson
+               prior each step, .bak:2473-2497, discarding its own
+               cardinalityPredictKernel output); the kernel's log-domain
+               convolution of prior with birth cardinality (.bak:512-545)
+               is kept behind cfg.cnPoissonPredict=False
   births       birthsKernel (.bak:737-856): birth Gaussians added to the map
                *before* the update (optionally gated to measurements not
                explained by existing features, config keys gate_births /

@@ -23,8 +23,10 @@ pipeline (live in src/phdfilter.cu.bak):
                the PREVIOUS step's measurements, binomial birth cardinality
   cn predict   cardinalityPredictKernel (.bak:512-545): log-pmf convolution
   pre-update   cphdPreUpdateKernel (.bak:1058-1184): per-feature pd
-               (0 outside the FOV), qdw = log(1-pd_f) + log w over the
-               WHOLE map
+               (0 outside the exact FOV), qdw = log(1-pd_f) + log w over
+               the in-range SUBMAP (rclass != 0) — the set every CPHD
+               kernel receives (.bak:2199-2273); out-of-range features
+               recombine untouched (.bak:2546-2580)
   ESF/Psi      computeEsfKernel / computePsiKernel (.bak:1194-1430)
   update       cphdUpdateKernel (.bak:1436-1478); deliberate fix: the
                non-detection scale uses the per-feature (1-pd_f) (Vo's
