@@ -17,6 +17,17 @@ Algorithm mapping (all citations /root/reference/src/):
   merge        phdfilter.cu:2707-2898 (greedy max-weight moment matching)
   resample     main.cpp:453-501 (stratified with overrun backfill)
 
+MIXED/DYNAMIC mode (cfg.featureModel in (1, 2)) adds the 4-D feature
+family — the independent anchor for filter/update4.py:
+  map predict  phdfilter.cu:923-1020 (CV + survival/jump-Markov scaling)
+  update       phdfilter.cu:2323-2635 (phdUpdateKernelMixed: joint
+               normalizer over static+dynamic detection terms, two birth
+               weights when unlabeled, pd*w cardinality for weighting 0)
+  4-D births   phdfilter.cu:244-299
+  4-D merge    phdUpdateMergeKernel Gaussian4D overloads (Cholesky
+               Mahalanobis); out-of-range dynamic features killed
+               (the reference's hack, phdfilter.cu:3713-3719)
+
 CPHD mode (cfg.filterType == 1) follows the reference's dormant CPHD
 pipeline (live in src/phdfilter.cu.bak):
   births       addBirths / birthsKernel (.bak:737-856): gated births from
@@ -57,6 +68,10 @@ class CpuParticle:
     cov: np.ndarray                  # [F, 2, 2]
     cn: Optional[np.ndarray] = None  # [N+1] log cardinality pmf (CPHD)
     cn_birth: Optional[np.ndarray] = None  # [N+1] log birth cardinality
+    # dynamic (4-D) map, featureModel in (1, 2) — [x, y, vx, vy] features
+    wd: Optional[np.ndarray] = None        # [Fd]
+    mean4: Optional[np.ndarray] = None     # [Fd, 4]
+    cov4: Optional[np.ndarray] = None      # [Fd, 4, 4]
 
 
 @dataclass
@@ -75,10 +90,14 @@ class CpuSlam:
                           -np.log(cfg.maxCardinality + 1.0))
         else:
             cn0 = None
+        dyn = cfg.featureModel in (1, 2)
         parts = [CpuParticle(pose0.copy(), -np.log(n),
                              np.zeros(0), np.zeros((0, 2)),
                              np.zeros((0, 2, 2)),
-                             cn=None if cn0 is None else cn0.copy())
+                             cn=None if cn0 is None else cn0.copy(),
+                             wd=np.zeros(0) if dyn else None,
+                             mean4=np.zeros((0, 4)) if dyn else None,
+                             cov4=np.zeros((0, 4, 4)) if dyn else None)
                  for _ in range(n)]
         return cls(parts, np.arange(n))
 
@@ -117,6 +136,37 @@ def predict(slam: CpuSlam, control, cfg: SlamConfig, dt, rng):
             p.pose[3] = vx + dt * ax
             p.pose[4] = vy + dt * ay
             p.pose[5] = vth + dt * ath
+        if p.wd is not None and len(p.wd):
+            _predict_dynamic_map(p, cfg, dt)
+
+
+def _predict_dynamic_map(p: CpuParticle, cfg: SlamConfig, dt):
+    """CV prediction + survival/jump-Markov weight scaling of the dynamic
+    map (predictMapKernelMixed, src/phdfilter.cu:923-1020; the ConstantVelocity
+    motion with white-acceleration Q of device_math.cuh:608-658). Mirrors
+    filter/update4.py::cv_predict4 + jump_markov_scales."""
+    v = np.linalg.norm(p.mean4[:, 2:4], axis=1)
+    sigmoid_v = 1.0 / (1.0 + np.exp(cfg.beta * (cfg.tau - v)))
+    if cfg.featureModel == 1:        # DYNAMIC
+        p_jmm = np.ones_like(v)
+        ps = 1.0 - (1.0 - cfg.ps) / (1.0 + np.exp(-cfg.beta
+                                                  * (v - cfg.tau)))
+    else:                            # MIXED
+        p_jmm = sigmoid_v
+        ps = np.full_like(v, cfg.ps)
+    p.wd = p.wd * p_jmm * ps
+    F = np.eye(4)
+    F[0, 2] = F[1, 3] = dt
+    q2, q3, q4 = dt * dt, dt ** 3 / 2.0, dt ** 4 / 4.0
+    Q = np.zeros((4, 4))
+    Q[0, 0] = q4 * cfg.stdAxMap ** 2
+    Q[1, 1] = q4 * cfg.stdAyMap ** 2
+    Q[0, 2] = Q[2, 0] = q3 * cfg.stdAxMap ** 2
+    Q[1, 3] = Q[3, 1] = q3 * cfg.stdAyMap ** 2
+    Q[2, 2] = q2 * cfg.stdAxMap ** 2
+    Q[3, 3] = q2 * cfg.stdAyMap ** 2
+    p.mean4 = p.mean4 @ F.T
+    p.cov4 = np.einsum("ij,fjk,lk->fil", F, p.cov4, F) + Q
 
 
 def _birth(pose, z, cfg):
@@ -294,6 +344,286 @@ def _greedy_merge(w, mu, P, cfg: SlamConfig):
         return np.zeros(0), np.zeros((0, 2)), np.zeros((0, 2, 2))
     return (np.asarray(merged_w), np.asarray(merged_mu),
             np.asarray(merged_P))
+
+
+# ---------------------------------------------------------------------------
+# MIXED static+dynamic model (featureModel == 2; DYNAMIC == 1 is the
+# dynamic-map-only special case): dynamic-shape float64 oracle of
+# phdUpdateKernelMixed (src/phdfilter.cu:2323-2635) — the independent
+# anchor for the fixed-shape TPU path in filter/update4.py.
+# ---------------------------------------------------------------------------
+
+def _birth4(pose, z, cfg):
+    """4-D birth (computeBirth 4-D overload, src/phdfilter.cu:244-299):
+    position block from the inverse measurement, zero velocity mean,
+    diag(covVxBirth, covVyBirth) velocity covariance."""
+    mean2, cov2 = _birth(pose, z, cfg)
+    mean = np.concatenate([mean2, np.zeros(2)])
+    cov = np.zeros((4, 4))
+    cov[:2, :2] = cov2
+    cov[2, 2] = cfg.covVxBirth
+    cov[3, 3] = cfg.covVyBirth
+    return mean, cov
+
+
+def _greedy_merge4(w, mu, P, cfg: SlamConfig):
+    """Greedy max-weight-first moment-matched reduction of a 4-D mixture
+    (phdUpdateMergeKernel via the Gaussian4D overloads; Mahalanobis with
+    averaged covariances through a Cholesky solve, gm_reduce.cpp:30-37)."""
+    n = len(w)
+    merged_w, merged_mu, merged_P = [], [], []
+    alive = w > 0
+    w = w.copy()
+    for _ in range(n):
+        if not alive.any():
+            break
+        pick = np.argmax(np.where(alive, w, -1))
+        refm, refP = mu[pick], P[pick]
+        sig = 0.5 * (refP[None] + P)
+        diff = refm[None] - mu                      # [n, 4]
+        dist = np.full(n, np.inf)
+        for j in np.flatnonzero(alive):
+            try:
+                L = np.linalg.cholesky(sig[j])
+                x = np.linalg.solve(L, diff[j])
+                dist[j] = float(x @ x)
+            except np.linalg.LinAlgError:
+                pass
+        sel = alive & (dist < cfg.minSeparation)
+        sel[pick] = True
+        sw = w[sel]
+        wsum = sw.sum()
+        m = (sw[:, None] * mu[sel]).sum(0) / wsum
+        dd = m[None] - mu[sel]
+        cc = (sw[:, None, None]
+              * (P[sel] + dd[:, :, None] * dd[:, None, :])).sum(0) / wsum
+        merged_w.append(wsum)
+        merged_mu.append(m)
+        merged_P.append(0.5 * (cc + cc.T))
+        alive &= ~sel
+    if not merged_w:
+        return np.zeros(0), np.zeros((0, 4)), np.zeros((0, 4, 4))
+    return (np.asarray(merged_w), np.asarray(merged_mu),
+            np.asarray(merged_P))
+
+
+def update_mixed(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig,
+                 z_label: Optional[np.ndarray] = None):
+    """Mixed static+dynamic PHD update (phdUpdateKernelMixed,
+    src/phdfilter.cu:2323-2635): ONE normalizer per measurement summing the
+    static and dynamic detection terms plus clutter and the birth weights
+    (two birth terms when measurements are unlabeled, :2501-2503); births
+    into both maps; separate prune/merge per map; out-of-range dynamic
+    features are killed after the update (the reference's explicit hack,
+    :3713-3719). Predicted cardinality for weighting 0 is sum pd*w over
+    both maps only (births contribute 0 there, :2410-2447).
+
+    z [M, 2]; z_label [M] (0 = static, 1 = dynamic) consulted only when
+    cfg.labeledMeasurements. Mutates particles."""
+    m_count = z.shape[0]
+    if m_count == 0:
+        return
+    var_r, var_b = cfg.stdRange ** 2, cfg.stdBearing ** 2
+    labeled = bool(cfg.labeledMeasurements)
+    if z_label is None:
+        z_label = np.zeros(m_count, int)
+    ones = np.ones(m_count, bool)
+    st_ok = ones if not labeled else (z_label == 0)   # static dets/births
+    dy_ok = ones if not labeled else (z_label == 1)   # dynamic dets/births
+    n_birth_terms = 1 if labeled else 2
+
+    for p in slam.particles:
+        pose = p.pose
+        # ---- static gating: in / nearly-in / out (same as update) ----
+        if len(p.w):
+            d = p.mean - pose[:2]
+            r = np.linalg.norm(d, axis=1)
+            b = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
+            in_m = (r >= cfg.minRange) & (r <= cfg.maxRange) \
+                & (np.abs(b) <= cfg.maxBearing)
+            near_m = ~in_m & (r >= 0.8 * cfg.minRange) \
+                & (r <= 1.2 * cfg.maxRange) \
+                & (np.abs(b) <= 1.2 * cfg.maxBearing)
+            out_m = ~in_m & ~near_m
+        else:
+            in_m = near_m = out_m = np.zeros(0, bool)
+        w_in, mu_in, P_in = p.w[in_m], p.mean[in_m], p.cov[in_m]
+
+        # ---- dynamic gating: in-range survives, everything else dies ----
+        if len(p.wd):
+            d4 = p.mean4[:, :2] - pose[:2]
+            r4 = np.linalg.norm(d4, axis=1)
+            b4 = wrap(np.arctan2(d4[:, 1], d4[:, 0]) - pose[2])
+            in4 = (r4 >= cfg.minRange) & (r4 <= cfg.maxRange) \
+                & (np.abs(b4) <= cfg.maxBearing)
+        else:
+            in4 = np.zeros(0, bool)
+        wd_in = p.wd[in4]
+        mu4_in = p.mean4[in4]
+        P4_in = p.cov4[in4]
+        n2, n4 = len(w_in), len(wd_in)
+
+        # ---- static pre-update ----
+        if n2:
+            d = mu_in - pose[:2]
+            r2 = np.linalg.norm(d, axis=1)
+            bearing2 = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
+            pd2 = np.where((r2 <= cfg.maxRange)
+                           & (np.abs(bearing2) <= cfg.maxBearing),
+                           cfg.pd, 0.0)
+            J = np.stack([
+                np.stack([d[:, 0] / r2, d[:, 1] / r2], -1),
+                np.stack([-d[:, 1] / r2 ** 2, d[:, 0] / r2 ** 2], -1)], -2)
+            S = np.einsum("fij,fjk,flk->fil", J, P_in, J)
+            S[:, 0, 0] += var_r
+            S[:, 1, 1] += var_b
+            off = 0.5 * (S[:, 0, 1] + S[:, 1, 0])
+            S[:, 0, 1] = S[:, 1, 0] = off
+            det_s2 = S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]
+            s_inv2 = np.stack([
+                np.stack([S[:, 1, 1], -S[:, 0, 1]], -1),
+                np.stack([-S[:, 1, 0], S[:, 0, 0]], -1)], -2) \
+                / det_s2[:, None, None]
+            K2 = np.einsum("fij,fkj,fkl->fil", P_in, J, s_inv2)
+            IKJ = np.eye(2) - np.einsum("fij,fjk->fik", K2, J)
+            R = np.diag([var_r, var_b])
+            P_up2 = np.einsum("fij,fjk,flk->fil", IKJ, P_in, IKJ) \
+                + np.einsum("fij,jk,flk->fil", K2, R, K2)
+        else:
+            pd2 = np.zeros(0)
+
+        # ---- dynamic pre-update: H = J [I2 | 0] ----
+        if n4:
+            d = mu4_in[:, :2] - pose[:2]
+            r = np.linalg.norm(d, axis=1)
+            bearing4 = wrap(np.arctan2(d[:, 1], d[:, 0]) - pose[2])
+            pd4 = np.full(n4, cfg.pd)    # in-range by construction
+            J4 = np.stack([
+                np.stack([d[:, 0] / r, d[:, 1] / r], -1),
+                np.stack([-d[:, 1] / r ** 2, d[:, 0] / r ** 2], -1)], -2)
+            H = np.zeros((n4, 2, 4))
+            H[:, :, :2] = J4
+            S4m = np.einsum("fij,fjk,flk->fil", H, P4_in, H)
+            S4m[:, 0, 0] += var_r
+            S4m[:, 1, 1] += var_b
+            off = 0.5 * (S4m[:, 0, 1] + S4m[:, 1, 0])
+            S4m[:, 0, 1] = S4m[:, 1, 0] = off
+            det_s4 = S4m[:, 0, 0] * S4m[:, 1, 1] \
+                - S4m[:, 0, 1] * S4m[:, 1, 0]
+            s_inv4 = np.stack([
+                np.stack([S4m[:, 1, 1], -S4m[:, 0, 1]], -1),
+                np.stack([-S4m[:, 1, 0], S4m[:, 0, 0]], -1)], -2) \
+                / det_s4[:, None, None]
+            K4 = np.einsum("fij,fkj,fkl->fil", P4_in, H, s_inv4)
+            IKH = np.eye(4) - np.einsum("fij,fjk->fik", K4, H)
+            R = np.diag([var_r, var_b])
+            P_up4 = np.einsum("fij,fjk,flk->fil", IKH, P4_in, IKH) \
+                + np.einsum("fij,jk,flk->fil", K4, R, K4)
+        else:
+            pd4 = np.zeros(0)
+
+        # ---- joint normalizers + component terms ----
+        comps_w2 = [w_in * (1 - pd2)] if n2 else []
+        comps_mu2 = [mu_in] if n2 else []
+        comps_P2 = [P_in] if n2 else []
+        comps_w4 = [wd_in * (1 - pd4)] if n4 else []
+        comps_mu4 = [mu4_in] if n4 else []
+        comps_P4 = [P4_in] if n4 else []
+        log_norms = np.zeros(m_count)
+        for mi in range(m_count):
+            sum2 = 0.0
+            sum4 = 0.0
+            if n2 and st_ok[mi]:
+                innov2 = np.stack([z[mi, 0] - r2,
+                                   wrap(z[mi, 1] - bearing2)], -1)
+                dist2 = np.einsum("fi,fij,fj->f", innov2, s_inv2, innov2)
+                lw2 = (np.log(pd2.clip(1e-300))
+                       + np.log(w_in.clip(1e-300))
+                       - 0.5 * dist2 - np.log(2 * np.pi)
+                       - 0.5 * np.log(det_s2))
+                sum2 = np.exp(lw2).sum()
+            if n4 and dy_ok[mi]:
+                innov4 = np.stack([
+                    z[mi, 0] - np.linalg.norm(mu4_in[:, :2] - pose[:2],
+                                              axis=1),
+                    wrap(z[mi, 1] - bearing4)], -1)
+                dist4 = np.einsum("fi,fij,fj->f", innov4, s_inv4, innov4)
+                lw4 = (np.log(pd4.clip(1e-300))
+                       + np.log(wd_in.clip(1e-300))
+                       - 0.5 * dist4 - np.log(2 * np.pi)
+                       - 0.5 * np.log(det_s4))
+                sum4 = np.exp(lw4).sum()
+            norm = (sum2 + sum4 + cfg.clutterDensity
+                    + n_birth_terms * cfg.birthWeight)
+            log_norms[mi] = np.log(norm)
+            if n2 and st_ok[mi]:
+                comps_w2.append(np.exp(lw2 - log_norms[mi]))
+                comps_mu2.append(
+                    mu_in + np.einsum("fij,fj->fi", K2, innov2))
+                comps_P2.append(P_up2)
+            if n4 and dy_ok[mi]:
+                comps_w4.append(np.exp(lw4 - log_norms[mi]))
+                comps_mu4.append(
+                    mu4_in + np.einsum("fij,fj->fi", K4, innov4))
+                comps_P4.append(P_up4)
+
+        # births into both maps
+        for mi in range(m_count):
+            bwt = cfg.birthWeight / np.exp(log_norms[mi])
+            if st_ok[mi]:
+                mean_b, cov_b = _birth(pose, z[mi], cfg)
+                comps_w2.append(np.array([bwt]))
+                comps_mu2.append(mean_b[None])
+                comps_P2.append(cov_b[None])
+            if dy_ok[mi]:
+                mean_b4, cov_b4 = _birth4(pose, z[mi], cfg)
+                comps_w4.append(np.array([bwt]))
+                comps_mu4.append(mean_b4[None])
+                comps_P4.append(cov_b4[None])
+
+        uw2 = np.concatenate(comps_w2) if comps_w2 else np.zeros(0)
+        umu2 = np.concatenate(comps_mu2) if comps_mu2 else np.zeros((0, 2))
+        uP2 = np.concatenate(comps_P2) if comps_P2 else np.zeros((0, 2, 2))
+        uw4 = np.concatenate(comps_w4) if comps_w4 else np.zeros(0)
+        umu4 = np.concatenate(comps_mu4) if comps_mu4 else np.zeros((0, 4))
+        uP4 = np.concatenate(comps_P4) if comps_P4 else np.zeros((0, 4, 4))
+
+        # ---- particle weight ----
+        if cfg.particleWeighting == 0:
+            card_pred = float(np.sum(pd2 * w_in) + np.sum(pd4 * wd_in))
+            p.log_weight += float(log_norms.sum() - card_pred)
+        else:
+            cn_predict = float(np.sum(w_in) + np.sum(wd_in)
+                               + m_count * cfg.birthWeight)
+            cn_update = float(np.sum(uw2) + np.sum(uw4))
+            p.log_weight += float(m_count * cfg.clutterDensity
+                                  + cn_update - cn_predict
+                                  - cfg.clutterRate)
+
+        # ---- prune ----
+        keep2 = uw2 >= cfg.minFeatureWeight
+        uw2, umu2, uP2 = uw2[keep2], umu2[keep2], uP2[keep2]
+        keep4 = uw4 >= cfg.minFeatureWeight
+        uw4, umu4, uP4 = uw4[keep4], umu4[keep4], uP4[keep4]
+
+        # ---- static: recombine nearly-in, merge, out passes through ----
+        uw2 = np.concatenate([uw2, p.w[near_m]])
+        umu2 = np.concatenate([umu2, p.mean[near_m]])
+        uP2 = np.concatenate([uP2, p.cov[near_m]])
+        mw2, mmu2, mP2 = _greedy_merge(uw2, umu2, uP2, cfg)
+        p.w = np.concatenate([mw2, p.w[out_m]])
+        p.mean = np.concatenate([mmu2, p.mean[out_m]])
+        p.cov = np.concatenate([mP2, p.cov[out_m]])
+
+        # ---- dynamic: merge only (out-of-range already killed) ----
+        p.wd, p.mean4, p.cov4 = _greedy_merge4(uw4, umu4, uP4, cfg)
+
+    # ---- weight normalization ----
+    lws = np.array([p.log_weight for p in slam.particles])
+    mx = lws.max()
+    total = mx + np.log(np.exp(lws - mx).sum())
+    for p in slam.particles:
+        p.log_weight -= total
 
 
 # ---------------------------------------------------------------------------
@@ -588,7 +918,10 @@ def resample(slam: CpuSlam, rng, n_out: Optional[int] = None):
             src.w.copy(), src.mean.copy(), src.cov.copy(),
             cn=None if src.cn is None else src.cn.copy(),
             cn_birth=None if src.cn_birth is None
-            else src.cn_birth.copy()))
+            else src.cn_birth.copy(),
+            wd=None if src.wd is None else src.wd.copy(),
+            mean4=None if src.mean4 is None else src.mean4.copy(),
+            cov4=None if src.cov4 is None else src.cov4.copy()))
     slam.particles = new_parts
     slam.resample_idx = idx
 
@@ -606,12 +939,14 @@ def map_estimate(slam: CpuSlam):
 
 
 def run(cfg: SlamConfig, controls, measurement_sets, seed=0,
-        callback=None):
+        callback=None, label_sets=None):
     """Run the full CPU filter. controls [T-1, 2]; measurement_sets: list of
-    [K,2] arrays. Returns stacked expected poses [T, 6]."""
+    [K,2] arrays; label_sets: optional list of [K] int label arrays
+    (labeled mixed-model runs). Returns stacked expected poses [T, 6]."""
     rng = np.random.default_rng(seed)
     slam = CpuSlam.create(cfg)
     is_cphd = cfg.filterType == 1
+    is_mixed = cfg.featureModel in (1, 2)
     out = []
     z_prev = np.zeros((0, 2))
     for t, z in enumerate(measurement_sets):
@@ -631,6 +966,10 @@ def run(cfg: SlamConfig, controls, measurement_sets, seed=0,
         if len(z):
             if is_cphd:
                 cphd_update(slam, np.asarray(z), cfg)
+            elif is_mixed:
+                lbl = np.asarray(label_sets[t], int) \
+                    if label_sets is not None else None
+                update_mixed(slam, np.asarray(z), cfg, z_label=lbl)
             else:
                 update(slam, np.asarray(z), cfg)
         z_prev = z
