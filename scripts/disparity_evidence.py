@@ -148,5 +148,75 @@ def main():
     print(json.dumps(out))
 
 
+def oracle_phase():
+    """Independent-anchor comparison: the dynamic-shape CPU disparity
+    oracle (reference_cpu_disparity) vs the TPU path on the SHIPPED
+    dataset — statistical parity (camera error, cardinality) + the honest
+    CPU ms/step denominator for the disparity RESULTS row."""
+    import jax
+    import jax.numpy as jnp
+
+    from phdslam_tpu import reference_cpu_disparity as RD
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.disparity import DisparityState, \
+        run_disparity_scan
+    from phdslam_tpu.io.loaders import load_measurements, \
+        pad_measurement_sets
+    from phdslam_tpu.utils import ensure_backend
+
+    ensure_backend()
+    cfg = load_config("cfg/disparity_synth.cfg")
+    sets = load_measurements("data/disparity_synth/measurements.txt")
+    truth = np.loadtxt("data/disparity_synth/traj.txt", comments="%")
+    T = 30 if QUICK else len(sets)
+    meas = [np.stack([s.ranges, s.bearings], 1) for s in sets[:T]]
+
+    cfg_cpu = cfg.replace(n_particles=16)
+    cards = []
+    t0 = time.time()
+    poses_cpu = RD.run(cfg_cpu, meas, seed=1,
+                       callback=lambda t, ps: cards.append(
+                           ps[int(np.argmax([p.log_weight for p in ps]))]
+                           .w.sum()))
+    cpu_ms = (time.time() - t0) / T * 1000
+    cpu_err = np.linalg.norm(poses_cpu[:, :3] - truth[:T, :3], axis=1)
+
+    rb, _, valid = pad_measurement_sets(sets, cfg.maxMeasurements)
+    state = DisparityState.create(cfg)
+    key = jax.random.PRNGKey(1)
+    key, k0 = jax.random.split(key)
+    jitter = jax.random.uniform(k0, (cfg.n_particles, 2),
+                                minval=-0.03, maxval=0.03)
+    state = state.replace(pose=state.pose.at[:, 3].add(jitter[:, 0])
+                          .at[:, 5].add(jitter[:, 1]))
+    final, (auxs, _plog, (map_w, _mm)) = run_disparity_scan(
+        state, key, jnp.asarray(rb[:T]), jnp.asarray(valid[:T]), cfg, T,
+        with_map_log=True)
+    poses_tpu = np.asarray(auxs.expected_pose)
+    tpu_err = np.linalg.norm(poses_tpu[:, :3] - truth[:T, :3], axis=1)
+
+    out = dict(disparity_cpu_oracle=dict(
+        n_particles_cpu=cfg_cpu.n_particles, steps=T,
+        cpu_ms_per_step=round(cpu_ms, 1),
+        cpu_pose_mean=round(float(cpu_err.mean()), 3),
+        cpu_pose_final=round(float(cpu_err[-1]), 3),
+        cpu_card_final=round(float(cards[-1]), 2),
+        tpu_pose_mean=round(float(tpu_err.mean()), 3),
+        tpu_pose_final=round(float(tpu_err[-1]), 3),
+        tpu_card_final=round(float(np.asarray(map_w)[-1].sum()), 2)))
+    path = "results/round3_evidence.json"
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.update(out)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--oracle" in sys.argv:
+        oracle_phase()
+    else:
+        main()
