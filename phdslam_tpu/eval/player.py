@@ -169,6 +169,19 @@ def build_player(log_dir: str, out_path: str = None, truth_mat: str = None,
         if i % max(stride, 1):
             continue
         d = read_state_estimate_log(path)
+        is_disparity = d["pose"].size == 12
+        if is_disparity:
+            # disparity logs: project camera + 3-D features onto the
+            # top-down (x, z) plane. Map-line layout: [w, m0, m1, m2,
+            # 3x3 cov column-major] -> synth 2-D rows
+            # [w, x, z, Cxx, Cxz, Czz] (cov cols 4+0, 4+6, 4+8).
+            s = d["static"]
+            if s.shape[1] == 13 and len(s):
+                d["static"] = s[:, [0, 1, 3, 4, 10, 12, 12]]
+            else:
+                d["static"] = np.zeros((0, 7))
+            d["pose"] = d["pose"][[0, 2, 5]]
+            d["poses"] = d["poses"][:, [0, 2]]
         w = d["static"][:, 0]
         sel = np.argsort(-w)[: min(len(w), 256)]
         sel = sel[w[sel] > 0.05]
@@ -188,12 +201,29 @@ def build_player(log_dir: str, out_path: str = None, truth_mat: str = None,
             t=i,
             pose=[round(float(v), 3) for v in d["pose"][:3]],
             particles=[[round(float(x), 2) for x in p] for p in parts],
-            map=[[round(float(v), 3) for v in d["static"][j][:6]]
+            # row layout [w, mx, my, C00, C10, C01, C11] (cov col-major)
+            # -> the JS ellipse's [w, x, y, c00, c01, c11]
+            map=[[round(float(v), 3) for v in d["static"][j][[0, 1, 2,
+                                                              3, 4, 6]]]
                  for j in sel],
             card=round(card, 2)))
 
     truth_traj = truth_lm = None
-    if truth_mat:
+    if truth_mat and (os.path.isdir(truth_mat)
+                      or truth_mat.endswith(".txt")):
+        # disparity dataset truth: traj.txt + landmarks.txt, top-down (x, z)
+        tdir = truth_mat if os.path.isdir(truth_mat) \
+            else os.path.dirname(truth_mat)
+        traj = np.loadtxt(os.path.join(tdir, "traj.txt"), comments="%")
+        truth_traj = [[round(float(traj[t, 0]), 3),
+                       round(float(traj[t, 2]), 3)]
+                      for t in range(0, traj.shape[0], max(stride, 1))]
+        lm_path = os.path.join(tdir, "landmarks.txt")
+        if os.path.exists(lm_path):
+            lms = np.loadtxt(lm_path, comments="%")
+            truth_lm = [[round(float(q[0]), 3), round(float(q[2]), 3)]
+                        for q in np.atleast_2d(lms)]
+    elif truth_mat:
         from scipy.io import loadmat
         sim = loadmat(truth_mat)["sim"][0, 0]
         traj = sim["traj"]

@@ -123,18 +123,24 @@ def append_metrics_jsonl(directory: str, record: dict):
 def read_state_estimate_log(path: str):
     """Parse a state_estimate log back (the contract batch_analyze.py
     relies on: map line strided 7 for static features,
-    python/batch_analyze.py:21-24)."""
+    python/batch_analyze.py:21-24). Disparity-pipeline logs are detected
+    by their 12-DOF camera pose line: the map line is then strided 13
+    (w + 3-D mean + 3x3 cov) and particle poses are 12 wide."""
     with open(path) as f:
         lines = f.read().splitlines()
     pose = np.array([float(v) for v in lines[0].split()])
+    is_disparity = pose.size == 12
+    stride = 13 if is_disparity else 7
+    pose_w = 12 if is_disparity else 6
     static_raw = np.array([float(v) for v in lines[1].split()])
-    static = static_raw.reshape(-1, 7) if static_raw.size else \
-        np.zeros((0, 7))
+    static = static_raw.reshape(-1, stride) if static_raw.size else \
+        np.zeros((0, stride))
     dynamic_raw = np.array([float(v) for v in lines[2].split()])
     dynamic = dynamic_raw.reshape(-1, 21) if dynamic_raw.size else \
         np.zeros((0, 21))
     weights = np.array([float(v) for v in lines[3].split()])
-    poses = np.array([float(v) for v in lines[4].split()]).reshape(-1, 6)
+    poses = np.array([float(v)
+                      for v in lines[4].split()]).reshape(-1, pose_w)
     resample_idx = np.array([int(v) for v in lines[5].split()])
     cardinality = np.array([float(v) for v in lines[6].split()]) \
         if len(lines) > 6 else np.zeros(0)

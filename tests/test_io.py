@@ -90,3 +90,27 @@ def test_log_shotgun_padding(tmp_path):
     d = logs.read_state_estimate_log(path)
     assert d["weights"].shape == (6,)
     assert d["poses"].shape == (6, 6)
+
+
+def test_state_estimate_log_roundtrip_disparity(tmp_path):
+    """Disparity logs (12-DOF camera pose, 3-D feature Gaussians) are
+    auto-detected by the reader: stride-13 map rows, 12-wide particle
+    poses."""
+    n, f = 3, 2
+    pose = np.arange(12, dtype=float) * 0.1
+    w = np.array([0.8, 0.6])
+    mean = np.array([[400.0, 300.0, 200.0], [100.0, 150.0, 250.0]])
+    cov = np.tile(np.diag([25.0, 25.0, 4900.0]), (f, 1, 1))
+    lw = np.full(n, -np.log(n))
+    poses = np.tile(pose, (n, 1))
+    path = logs.write_state_estimate_log(
+        str(tmp_path), 3, pose, w, mean, cov,
+        particle_log_weights=lw, particle_poses=poses,
+        resample_idx=np.arange(n), max_cardinality=10)
+    d = logs.read_state_estimate_log(path)
+    assert np.allclose(d["pose"], pose)
+    assert d["static"].shape == (f, 13)
+    assert np.allclose(d["static"][:, 0], w)
+    assert np.allclose(d["static"][0, 1:4], mean[0])
+    assert np.allclose(d["static"][0, 4:].reshape(3, 3).T, cov[0])
+    assert d["poses"].shape == (n, 12)
