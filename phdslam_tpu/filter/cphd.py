@@ -483,9 +483,11 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         # [P,M,F] cross-product is never materialized (psi_terms only
         # needs its per-measurement logsumexp)
         from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+        nv = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0))
         (sum_exp, e_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
          _lpw_sel, _compat) = fused_update_select(z_rb, pre, gm, cfg,
-                                                  k1=k1, raw=True)
+                                                  k1=k1, raw=True,
+                                                  n_valid=nv)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == 0)
         else:

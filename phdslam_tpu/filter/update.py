@@ -216,7 +216,12 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     P, F = gm.w.shape
     M = z_rb.shape[0]
     dtype = gm.w.dtype
-    k1 = min(8, F)
+    # fast mode (merge_mode=1) keeps the top-4 detection candidates per
+    # measurement instead of 8: the k1 extraction loop dominates the fused
+    # select kernel, and sub-top-4 candidates are overwhelmingly below the
+    # fast prune threshold anyway (documented deviation; accuracy evidence
+    # is the exact-vs-fast MC envelope in RESULTS.md)
+    k1 = min(4 if cfg.mergeMode == 1 else 8, F)
 
     pre = kalman_preupdate(pose, gm, cfg)
 
@@ -224,9 +229,10 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
                   and jax.default_backend() in ("tpu", "axon"))
     if use_pallas:
         from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+        nv = jnp.max(jnp.where(z_valid, jnp.arange(M) + 1, 0))
         (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
          lpw_sel, compatible) = fused_update_select(z_rb, pre, gm, cfg,
-                                                    k1=k1)
+                                                    k1=k1, n_valid=nv)
         # per-measurement validity/label gating (column masks)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == STATIC_MEASUREMENT)

@@ -337,9 +337,11 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
         # candidates without materializing [P, M, F2]
         from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
         k1s = min(8, F2)
+        nv2 = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0))
         (sum_exp2, e_sel2, mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
          _lpw, _compat) = fused_update_select(z_rb, pre2, gm2, cfg,
-                                              k1=k1s, raw=True)
+                                              k1=k1s, raw=True,
+                                              n_valid=nv2)
         if cfg.labeledMeasurements:
             m_ok2 = z_valid & (z_label == STATIC_MEASUREMENT)
         else:

@@ -170,10 +170,11 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_separation", "max_out", "tile_p",
-                                    "interpret", "metric"))
+                                    "interpret", "metric", "block"))
 def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                         max_out: int, tile_p: int = 128,
-                        interpret: bool = False, metric: int = 0):
+                        interpret: bool = False, metric: int = 0,
+                        block: int = 0):
     """Drop-in for ops.gm.greedy_merge_channels (metric 0 or 1).
 
     w..c11: [P, K] candidate channels; returns six [P, max_out] channels.
@@ -187,7 +188,8 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
-    block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
+    if block <= 0:
+        block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, cap=max_out,
                           min_separation=float(min_separation),
@@ -198,7 +200,7 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
         out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
                         for _ in range(6)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(48e6)),
+            vmem_limit_bytes=int(48e6 * max(1, tile_p // 128))),
         cost_estimate=pl.CostEstimate(
             flops=30 * P * K * max_out,
             bytes_accessed=(6 * P * K + 6 * P * max_out) * 4,

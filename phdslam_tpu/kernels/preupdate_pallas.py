@@ -35,7 +35,8 @@ LOG_2PI = 1.8378770664093453
 NEG_LARGE = -1e30
 
 
-def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
+def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
+            si11_ref,
             lds_ref, mx_ref, my_ref, g00_ref, g01_ref, g10_ref, g11_ref,
             u00_ref, u01_ref, u11_ref,
             sum_ref, wsel_ref, mxsel_ref, mysel_ref, u00sel_ref,
@@ -52,6 +53,17 @@ def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
     tp, F = r.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
     two_pi = 2.0 * math.pi
+
+    # zero-init so measurement columns beyond the dynamic count nv hold
+    # zeros, not VMEM garbage (zero weights kill those candidates in the
+    # merge, and zero channels keep 0*channel products finite)
+    zmp = jnp.zeros((n_measure, tp), r.dtype)
+    zmkp = jnp.zeros((n_measure, k1, tp), r.dtype)
+    sum_ref[:, :] = zmp
+    compat_ref[:, :] = zmp
+    for o in (wsel_ref, mxsel_ref, mysel_ref, u00sel_ref, u01sel_ref,
+              u11sel_ref, lpwsel_ref):
+        o[:, :, :] = zmkp
 
     def one_measurement(m, _):
         ir = z_ref[m, 0] - r
@@ -99,14 +111,15 @@ def _kernel(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,
             wrem = jnp.where(onehot, 0.0, wrem)
         return 0
 
-    jax.lax.fori_loop(0, n_measure, one_measurement, 0)
+    nv = jnp.minimum(nv_ref[0], n_measure)
+    jax.lax.fori_loop(0, nv, one_measurement, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(3,),
                    static_argnames=("k1", "tile_p", "interpret", "raw"))
 def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
                         tile_p: int = 128, interpret: bool = False,
-                        raw: bool = False):
+                        raw: bool = False, n_valid=None):
     """Run the fused kernel. pre: filter.update.PreUpdate channels; gm:
     Gaussian2DMixture. Returns (sum_exp [P,M], w_sel, mx_sel, my_sel,
     u00_sel, u01_sel, u11_sel, lpw_sel — each [P,M,k1]).
@@ -116,8 +129,10 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
 
     Also returns compat [P, M] (1.0 where some in-range feature falls
     within cfg.gateThreshold of the measurement — birth gating, N23).
-    Padded/invalid measurement columns produce garbage — callers mask with
-    z_valid exactly as in the XLA path.
+    Measurement columns at index >= n_valid (a traced int32 scalar; the
+    1 + last valid index works for non-contiguous masks) are ZEROS; any
+    interior invalid columns below n_valid are computed as before —
+    callers mask with z_valid exactly as in the XLA path either way.
     """
     from phdslam_tpu.ops.linalg import safe_log
 
@@ -136,6 +151,8 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
                          (1.0 if i in (3, 5) else 0.0))
                  for i, c in enumerate(chans)]
     P = P0 + pad
+    nv = jnp.full((1,), M, jnp.int32) if n_valid is None \
+        else jnp.asarray(n_valid, jnp.int32).reshape(1)
 
     chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -151,7 +168,8 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
             min_weight=float(cfg.minFeatureWeight),
             gate_threshold=float(cfg.gateThreshold), raw=raw),
         grid=(P // tile_p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [chan] * 16,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [chan] * 16,
         out_specs=(out_mp,) + (out_mkp,) * 7 + (out_mp,),
         out_shape=(
             jax.ShapeDtypeStruct((M, P), dtype),
@@ -165,7 +183,7 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
             bytes_accessed=(16 * P * F + 8 * P * M * k1) * 4,
             transcendentals=P * M * F),
         interpret=interpret,
-    )(z_rb, *chans)
+    )(z_rb, nv, *chans)
     sum_exp = jnp.transpose(outs[0], (1, 0))[:P0]           # [P, M]
     sel = [jnp.transpose(o, (2, 0, 1))[:P0] for o in outs[1:8]]
     compat = jnp.transpose(outs[8], (1, 0))[:P0] > 0.5      # [P, M]
