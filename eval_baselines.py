@@ -609,6 +609,31 @@ def main():
             f"final map cardinality {dv['card_final_mean']}",
             f"- {dv['ms_per_step']} ms/step (whole-run scan)",
             ""]
+    if "mixed" in ev:
+        mx = ev["mixed"]
+        lines += [
+            "## Mixed feature model (static landmarks + CV movers, "
+            "unlabeled)",
+            f"- {mx['n_runs']} runs x {mx['steps']} steps at "
+            f"{mx['n_particles']} particles, 3 constant-velocity movers "
+            "in the loop-closure scenario, UNLABELED measurements "
+            "(results/mixed_envelopes.png): pose error mean "
+            f"{mx['pose_mean']} m (late-half {mx['pose_late_mean']} m), "
+            f"{mx['ms_per_step']} ms/step",
+            f"- mover acquisition, scored at every post-burn-in step "
+            f"with a mover in the true FOV: nearest dynamic-map feature "
+            f"{mx['mover_dist_mean']} m from truth (fraction under 2 m: "
+            f"{mx['mover_dist_under_2m']}), velocity-direction cosine "
+            f"{mx['vel_cos_mean']}, final dynamic mass "
+            f"{mx['dyn_mass_mean']} over {mx['movers_scored']} scored "
+            "(step, mover) pairs",
+            f"- CPU-oracle cross-check (reference_cpu.update_mixed, "
+            f"{mx['cpu_n_particles']} particles, run 0's stream, "
+            f"{mx['cpu_steps']} steps): CPU pose "
+            f"{mx['cpu_pose_mean']} m vs TPU "
+            f"{mx['tpu_pose_mean_cpu_window']} m on the same window; "
+            f"CPU {mx['cpu_ms_per_step']} ms/step",
+            ""]
     if os.path.exists("results/stage_profile.json"):
         with open("results/stage_profile.json") as f:
             sp = json.load(f)

@@ -115,6 +115,43 @@ def generate_run(rng: np.random.Generator, sc: Scenario,
     return controls.astype(np.float32), meas
 
 
+def generate_mixed_run(rng: np.random.Generator, sc: Scenario,
+                       mover0: np.ndarray, mover_v: np.ndarray,
+                       control_noise=(2.0, 0.0873)):
+    """Monte-Carlo run for the MIXED feature model: the static-landmark
+    measurement stream of `generate_run` plus pd-thinned detections of
+    constant-velocity moving targets (unlabeled — the filter has to sort
+    static from dynamic itself, like the reference's unlabeled mixed mode,
+    src/phdfilter.cu:2501-2503).
+
+    mover0 [K, 2] initial positions; mover_v [K, 2] velocities.
+    Returns (controls [T,2], measurement sets, mover truth [T+1, K, 2])."""
+    t_len = sc.controls_true.shape[0]
+    controls = sc.controls_true + rng.normal(0.0, control_noise, (t_len, 2))
+    meas = []
+    truth = np.zeros((t_len + 1, mover0.shape[0], 2))
+    for k in range(t_len + 1):
+        pose = sc.traj[k]
+        pos = mover0 + mover_v * (k * sc.dt)
+        truth[k] = pos
+        z = generate_measurements(rng, sc, pose)
+        d = pos - pose[:2]
+        r = np.linalg.norm(d, axis=1)
+        b = np.arctan2(d[:, 1], d[:, 0]) - pose[2]
+        b = np.arctan2(np.sin(b), np.cos(b))
+        fov = (r >= sc.min_range) & (r <= sc.max_range) \
+            & (np.abs(b) <= sc.max_bearing)
+        det = fov & (rng.uniform(size=r.shape) < sc.pd)
+        if det.any():
+            zm = np.stack(
+                [r[det] + rng.normal(0.0, sc.std_range, det.sum()),
+                 b[det] + rng.normal(0.0, sc.std_bearing, det.sum())],
+                axis=1)
+            z = np.concatenate([z, zm])[rng.permutation(len(z) + len(zm))]
+        meas.append(z)
+    return controls.astype(np.float32), meas, truth
+
+
 def write_run_files(directory: str, controls: np.ndarray, meas: List):
     """Write measurements.txt / controls.txt in the reference text format."""
     import os

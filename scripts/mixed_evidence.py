@@ -1,0 +1,203 @@
+"""Mixed-model (static landmarks + moving targets) evidence: MC envelope
+on the TPU path + CPU-oracle cross-check — gives the mixed family the same
+RESULTS treatment as the static/CPHD/disparity rows.
+
+Scenario: the loop-closure MC map (40 landmarks) plus 3 slow constant-
+velocity movers crossing the vehicle's loop; measurements are UNLABELED so
+the filter must separate static from dynamic itself (the reference's
+unlabeled mixed mode, src/phdfilter.cu:2501-2503).
+
+Scores per run: per-step pose error; at EVERY post-burn-in step where a
+mover is inside the true sensor FOV, the distance from its true position
+to the nearest dynamic-map feature of the per-step MAP particle (from
+run_scan's LogAux), plus the velocity-direction cosine. Per-step scoring
+over the whole in-FOV window is the robust statistic — a mover is only
+distinguishable from a static landmark once its velocity estimate has
+accumulated, and final-step-only scoring mostly measured movers that had
+already left the FOV. Movers cross the vehicle loop at ~0.25 m/s so the
+velocity axis is genuinely observable over a visit. CPU leg:
+reference_cpu.update_mixed at 16 particles on run 0's stream.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
+           scripts/mixed_evidence.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUICK = "--quick" in sys.argv
+
+MOVER0 = np.array([[13.0, 9.0], [-9.0, 12.0], [10.0, -6.0]])
+MOVER_V = np.array([[-0.22, -0.10], [0.20, -0.12], [-0.14, 0.18]])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import run_scan
+    from phdslam_tpu.simdata import generate_mixed_run, make_scenario
+    from phdslam_tpu.utils import ensure_backend
+
+    ensure_backend()
+    T = 40 if QUICK else 150
+    n_runs = 2 if QUICK else 10
+    sc = make_scenario(np.random.default_rng(11), n_landmarks=40,
+                      n_steps=T)
+    # base = the proven MC setup (run_batch's contract: scenario-aligned
+    # start pose, cfg-default clutter matching the scenario generator,
+    # control noise (0.2, 0.01)); mixed knobs = the tuned values of
+    # tests/test_mixed.py::mixed_cfg
+    cfg = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=256, maxFeatures=128, maxMeasurements=64,
+        featureModel=2, birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
+        stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0,
+        x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
+        yaw0=float(sc.traj[0, 2]))
+
+    pose_err = np.zeros((n_runs, T))
+    mover_dist = []
+    vel_cos = []
+    dyn_mass = np.zeros(n_runs)
+    ms_per_step = []
+    for run in range(n_runs):
+        rng = np.random.default_rng(500 + run)
+        controls, meas, truth = generate_mixed_run(
+            rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01))
+        M = cfg.maxMeasurements
+        rb = np.zeros((T, M, 2), np.float32)
+        valid = np.zeros((T, M), bool)
+        for t in range(T):
+            z = meas[t][:M]
+            rb[t, :len(z)] = z
+            valid[t, :len(z)] = True
+        state = SlamState.create(cfg)
+        zs = Measurements(rb=jnp.asarray(rb),
+                          label=jnp.zeros((T, M), jnp.int32),
+                          valid=jnp.asarray(valid))
+        ctrl = jnp.asarray(np.concatenate(
+            [np.zeros((1, 2), np.float32), controls[:T - 1]]))
+        dts = jnp.full((T,), cfg.dt, jnp.float32)
+        t0 = time.time()
+        final, (auxs, la) = run_scan(state, jax.random.PRNGKey(run), ctrl,
+                                     zs, dts, cfg, T, with_log_state=True)
+        poses = np.asarray(auxs.expected_pose)       # sync
+        ms_per_step.append((time.time() - t0) / T * 1000)
+        pose_err[run] = np.linalg.norm(
+            poses[:, :2] - sc.traj[:T, :2], axis=1)
+
+        dyn_mass[run] = float(np.asarray(final.map_dynamic.w[
+            int(np.argmax(np.asarray(final.log_weights)))]).sum())
+        dyn_w_all = np.asarray(la.dyn_w)              # [T, Fd]
+        dyn_m_all = np.asarray(la.dyn_mean)           # [T, 4, Fd]
+        burn = max(10, T // 5)
+        scored_before = len(mover_dist)
+        for t in range(burn, T):
+            w4 = dyn_w_all[t]
+            m4 = dyn_m_all[t].T                       # [Fd, 4] = x,y,vx,vy
+            # feature-existence threshold: the MAP-map convention (top
+            # round(sum w) features) with a floor of the strongest
+            # quarter — the dynamic map spreads each mover's ~unit mass
+            # over a few components, so the static map's 0.33 absolute
+            # cut is too strict
+            sel = w4 >= max(0.05, 0.25 * float(w4.max()))
+            vpose = sc.traj[t]
+            for k in range(MOVER0.shape[0]):
+                pos = truth[t, k]
+                d = pos - vpose[:2]
+                r = np.linalg.norm(d)
+                b = np.arctan2(d[1], d[0]) - vpose[2]
+                b = np.arctan2(np.sin(b), np.cos(b))
+                if not (cfg.minRange <= r <= cfg.maxRange
+                        and abs(b) <= cfg.maxBearing):
+                    continue
+                if not sel.any():
+                    mover_dist.append(np.inf)
+                    continue
+                dd = np.linalg.norm(m4[sel][:, :2] - pos, axis=1)
+                j = int(np.argmin(dd))
+                mover_dist.append(float(dd[j]))
+                v_est = m4[sel][j, 2:]
+                nv = np.linalg.norm(v_est) * np.linalg.norm(MOVER_V[k])
+                if nv > 0:
+                    vel_cos.append(float(v_est @ MOVER_V[k] / nv))
+        print(f"run {run}: pose mean {pose_err[run].mean():.3f} m, "
+              f"dyn mass {dyn_mass[run]:.2f}, "
+              f"step-movers scored {len(mover_dist) - scored_before}",
+              flush=True)
+
+    # ---- CPU-oracle leg on run 0's stream ----
+    from phdslam_tpu import reference_cpu as R
+    rng = np.random.default_rng(500)
+    controls, meas, truth = generate_mixed_run(
+        rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01))
+    Tc = 20 if QUICK else 60
+    cfg_cpu = cfg.replace(n_particles=16)
+    t0 = time.time()
+    poses_cpu = R.run(cfg_cpu, controls[:Tc - 1], meas[:Tc], seed=2)
+    cpu_ms = (time.time() - t0) / Tc * 1000
+    cpu_err = np.linalg.norm(poses_cpu[:, :2] - sc.traj[:Tc, :2], axis=1)
+
+    # ---- envelope plot ----
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ts = np.arange(T)
+    m, s = pose_err.mean(0), pose_err.std(0)
+    ax.plot(ts, m, label=f"mixed TPU ({cfg.n_particles}p, "
+                         f"{n_runs} runs)")
+    ax.fill_between(ts, m - s, m + s, alpha=0.25)
+    ax.plot(np.arange(Tc), cpu_err, "--",
+            label=f"CPU oracle ({cfg_cpu.n_particles}p, 1 run)")
+    ax.set_xlabel("time step")
+    ax.set_ylabel("pose error [m]")
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs("results", exist_ok=True)
+    fig.savefig("results/mixed_envelopes.png", dpi=110)
+
+    md = np.asarray(mover_dist)
+    out = dict(mixed=dict(
+        n_runs=n_runs, steps=T, n_particles=cfg.n_particles,
+        pose_mean=round(float(pose_err.mean()), 3),
+        pose_late_mean=round(float(pose_err[:, T // 2:].mean()), 3),
+        ms_per_step=round(float(np.mean(ms_per_step)), 2),
+        movers_scored=int(md.size),
+        mover_dist_mean=round(float(md[np.isfinite(md)].mean()), 3)
+        if np.isfinite(md).any() else None,
+        mover_dist_under_2m=round(float((md < 2.0).mean()), 3)
+        if md.size else None,
+        vel_cos_mean=round(float(np.mean(vel_cos)), 3)
+        if vel_cos else None,
+        dyn_mass_mean=round(float(dyn_mass.mean()), 2),
+        cpu_n_particles=cfg_cpu.n_particles, cpu_steps=Tc,
+        cpu_ms_per_step=round(cpu_ms, 1),
+        cpu_pose_mean=round(float(cpu_err.mean()), 3),
+        tpu_pose_mean_cpu_window=round(float(pose_err[0, :Tc].mean()), 3)))
+    path = "results/round3_evidence.json"
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.update(out)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
