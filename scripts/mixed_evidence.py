@@ -36,6 +36,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUICK = "--quick" in sys.argv
+SMOKE = "--smoke" in sys.argv   # tiny shapes: code-path check on 1-core CPU
 
 MOVER0 = np.array([[13.0, 9.0], [-9.0, 12.0], [10.0, -6.0]])
 MOVER_V = np.array([[-0.22, -0.10], [0.20, -0.12], [-0.14, 0.18]])
@@ -52,8 +53,8 @@ def main():
     from phdslam_tpu.utils import ensure_backend
 
     ensure_backend()
-    T = 40 if QUICK else 150
-    n_runs = 2 if QUICK else 10
+    T = 12 if SMOKE else 40 if QUICK else 150
+    n_runs = 1 if SMOKE else 2 if QUICK else 10
     sc = make_scenario(np.random.default_rng(11), n_landmarks=40,
                       n_steps=T)
     # base = the proven MC setup (run_batch's contract: scenario-aligned
@@ -61,7 +62,9 @@ def main():
     # control noise (0.2, 0.01)); mixed knobs = the tuned values of
     # tests/test_mixed.py::mixed_cfg
     cfg = load_config("cfg/ackerman_synth.cfg").replace(
-        n_particles=256, maxFeatures=128, maxMeasurements=64,
+        n_particles=32 if SMOKE else 256,
+        maxFeatures=32 if SMOKE else 128,
+        maxMeasurements=16 if SMOKE else 64,
         featureModel=2, birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
         stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0,
         x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
@@ -143,7 +146,7 @@ def main():
     rng = np.random.default_rng(500)
     controls, meas, truth = generate_mixed_run(
         rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01))
-    Tc = 20 if QUICK else 60
+    Tc = 4 if SMOKE else 20 if QUICK else 60
     cfg_cpu = cfg.replace(n_particles=16)
     t0 = time.time()
     poses_cpu = R.run(cfg_cpu, controls[:Tc - 1], meas[:Tc], seed=2)
@@ -168,7 +171,8 @@ def main():
     ax.legend()
     fig.tight_layout()
     os.makedirs("results", exist_ok=True)
-    fig.savefig("results/mixed_envelopes.png", dpi=110)
+    if not SMOKE:
+        fig.savefig("results/mixed_envelopes.png", dpi=110)
 
     md = np.asarray(mover_dist)
     out = dict(mixed=dict(
@@ -188,14 +192,15 @@ def main():
         cpu_ms_per_step=round(cpu_ms, 1),
         cpu_pose_mean=round(float(cpu_err.mean()), 3),
         tpu_pose_mean_cpu_window=round(float(pose_err[0, :Tc].mean()), 3)))
-    path = "results/round3_evidence.json"
-    data = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            data = json.load(f)
-    data.update(out)
-    with open(path, "w") as f:
-        json.dump(data, f, indent=1)
+    if not SMOKE:
+        path = "results/round3_evidence.json"
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data.update(out)
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
     print(json.dumps(out))
 
 

@@ -212,3 +212,45 @@ def test_cpu_oracle_cphd_consistency_and_tracking():
     # the posterior pmf is the in-range-submap statistic: finite,
     # normalized, and bounded by the full-map mass scale
     assert np.isfinite(en) and 0.0 <= en <= sw + 3.0, (en, sw)
+
+
+def test_generate_mixed_run_mover_stream():
+    """generate_mixed_run (scripts/mixed_evidence.py's data source) must
+    add pd-thinned mover detections on top of the static stream: with
+    pd=1 and no noise, every step where a mover is inside the FOV must
+    contain a measurement at its exact range/bearing, and the returned
+    truth must follow the constant-velocity motion."""
+    from phdslam_tpu.simdata import generate_mixed_run, make_scenario
+
+    rng = np.random.default_rng(0)
+    sc = make_scenario(rng, n_landmarks=4, n_steps=25, clutter_rate=0.5)
+    import dataclasses
+    sc = dataclasses.replace(sc, pd=1.0, std_range=1e-9, std_bearing=1e-9)
+    mover0 = np.array([[4.0, 1.0]])
+    mover_v = np.array([[0.3, 0.1]])
+    controls, meas, truth = generate_mixed_run(
+        np.random.default_rng(1), sc, mover0, mover_v,
+        control_noise=(0.0, 0.0))
+
+    assert truth.shape == (sc.controls_true.shape[0] + 1, 1, 2)
+    np.testing.assert_allclose(
+        truth[:, 0], mover0[0] + mover_v[0] * sc.dt
+        * np.arange(truth.shape[0])[:, None])
+
+    n_in_fov = n_matched = 0
+    for k in range(truth.shape[0]):
+        pose = sc.traj[k]
+        d = truth[k, 0] - pose[:2]
+        r = np.linalg.norm(d)
+        b = np.arctan2(d[1], d[0]) - pose[2]
+        b = np.arctan2(np.sin(b), np.cos(b))
+        if not (sc.min_range <= r <= sc.max_range
+                and abs(b) <= sc.max_bearing):
+            continue
+        n_in_fov += 1
+        z = meas[k]
+        db = np.arctan2(np.sin(z[:, 1] - b), np.cos(z[:, 1] - b))
+        if np.any((np.abs(z[:, 0] - r) < 1e-5) & (np.abs(db) < 1e-5)):
+            n_matched += 1
+    assert n_in_fov > 0, "scenario never puts the mover in the FOV"
+    assert n_matched == n_in_fov
