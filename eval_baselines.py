@@ -212,15 +212,29 @@ def main():
     pmf = np.exp(cn - cn.max(axis=1, keepdims=True))
     pmf /= pmf.sum(axis=1, keepdims=True)
     e_n = (pmf * np.arange(pmf.shape[1])).sum(1)         # [T]
-    n_true = np.array([len(gt[t]) for t in range(T3)], float)
-    card_err = np.abs(e_n - n_true)
+    n_vis = np.array([len(gt[t]) for t in range(T3)], float)
+    # The CPHD posterior cn is the IN-RANGE-SUBMAP cardinality (the set
+    # the Psi machinery sees — PARITY.md N22), so the matching truth is
+    # the per-step in-FOV landmark count, not the cumulative visited set.
+    # Any landmark inside the FOV at step t is by definition visited by
+    # step t, so the visited-union at the last scored step contains every
+    # landmark that can ever be in FOV during the window.
+    full_map = gt[T3 - 1]
+    d = full_map[None, :, :] - traj[:2, :T3].T[:, None, :]   # [T, L, 2]
+    r = np.linalg.norm(d, axis=-1)
+    b = np.arctan2(d[..., 1], d[..., 0]) - traj[2, :T3][:, None]
+    b = np.arctan2(np.sin(b), np.cos(b))
+    n_fov = ((r <= cfg3.maxRange) & (r >= cfg3.minRange)
+             & (np.abs(b) <= cfg3.maxBearing)).sum(1).astype(float)
+    card_err = np.abs(e_n - n_fov)
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots(figsize=(8, 3.2))
-        ax.plot(e_n, label="E[n] (MAP particle)")
-        ax.plot(n_true, "k--", label="visited landmarks (truth)")
+        ax.plot(e_n, label="E[n] (MAP particle, in-range submap)")
+        ax.plot(n_fov, "g-", lw=1, label="in-FOV landmarks (truth)")
+        ax.plot(n_vis, "k--", label="cumulative visited (truth)")
         ax.set_xlabel("time step"); ax.set_ylabel("map cardinality")
         ax.legend(); fig.tight_layout()
         os.makedirs("results", exist_ok=True)
@@ -230,19 +244,22 @@ def main():
         card_plot = None
     results["cphd_1024"] = dict(
         pose_mean=float(err3.mean()), ms_per_step=ms3,
-        card_final_est=float(e_n[-1]), card_final_true=float(n_true[-1]),
+        card_final_est=float(e_n[-1]), card_final_fov=float(n_fov[-1]),
+        card_final_visited=float(n_vis[-1]),
         card_err_mean=float(card_err.mean()),
         card_err_final=float(card_err[-1]))
     lines += [
         "## Config 3 — CPHD, 1024 particles, EAP + cardinality",
         f"- steps: {T3}; mean pose error {err3.mean():.2f} m; "
         f"{ms3:.2f} ms/step",
-        f"- cardinality vs truth: final E[n] = {e_n[-1]:.1f} vs "
-        f"{n_true[-1]:.0f} visited landmarks; per-step |E[n] - n_true| "
-        f"mean {card_err.mean():.1f}, final {card_err[-1]:.1f} "
-        f"(curve: {card_plot}; E[n] == intensity integral exactly — "
-        "CPHD consistency, fixed round 3: full-map Psi inner products, "
-        "see PARITY.md)",
+        f"- cardinality vs truth: the posterior cn is the in-range-submap"
+        " statistic (PARITY.md N22), so the matching truth is the"
+        f" per-step in-FOV landmark count — |E[n] - n_fov| mean "
+        f"{card_err.mean():.1f}, final {card_err[-1]:.1f} "
+        f"(final E[n] = {e_n[-1]:.1f} vs {n_fov[-1]:.0f} in FOV; "
+        f"cumulative visited {n_vis[-1]:.0f} shown for context in "
+        f"{card_plot}; E[n] == in-range intensity integral exactly — "
+        "CPHD consistency, fixed round 3: full-map Psi inner products)",
         ""]
 
     # ---------- Monte-Carlo OSPA envelopes (batch methodology) ----------
