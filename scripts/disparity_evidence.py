@@ -136,7 +136,10 @@ def main():
             ospa[:, [t for t in range(0, T, stride)][-1]])), 3),
         card_final_mean=round(float(card_est[:, -1].mean()), 2),
         n_landmarks=int(sc.landmarks.shape[0]),
-        ms_per_step=round(float(np.mean(ms_per_step)), 2)))
+        # run 0 pays the scan compile; warm runs are the throughput number
+        ms_per_step=round(float(np.mean(ms_per_step[1:])), 2)
+        if len(ms_per_step) > 1 else round(float(ms_per_step[0]), 2),
+        ms_per_step_cold=round(float(ms_per_step[0]), 2)))
     path = "results/round3_evidence.json"
     data = {}
     if os.path.exists(path):

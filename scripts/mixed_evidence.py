@@ -179,7 +179,10 @@ def main():
         n_runs=n_runs, steps=T, n_particles=cfg.n_particles,
         pose_mean=round(float(pose_err.mean()), 3),
         pose_late_mean=round(float(pose_err[:, T // 2:].mean()), 3),
-        ms_per_step=round(float(np.mean(ms_per_step)), 2),
+        # run 0 pays the scan compile; warm runs are the throughput number
+        ms_per_step=round(float(np.mean(ms_per_step[1:])), 2)
+        if len(ms_per_step) > 1 else round(float(ms_per_step[0]), 2),
+        ms_per_step_cold=round(float(ms_per_step[0]), 2),
         movers_scored=int(md.size),
         mover_dist_mean=round(float(md[np.isfinite(md)].mean()), 3)
         if np.isfinite(md).any() else None,
