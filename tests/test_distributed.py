@@ -88,6 +88,41 @@ def test_sharded_matches_single_device(tiny_cfg, mesh):
                                rtol=1e-3, atol=1e-5)
 
 
+def test_sharded_cphd_matches_single_device(tiny_cfg, mesh):
+    """CPHD under the same particle-axis sharding: the cardinality pmf
+    ([P, Nmax+1]) shards like any per-particle state and the Psi inner
+    products are per-particle, so sharded == single-device must hold for
+    filterType=1 too (the dryrun's CPHD leg, __graft_entry__.py)."""
+    cfg = tiny_cfg.replace(n_particles=32, filterType=1,
+                           maxCardinality=16)
+    z = _inputs(cfg)
+    key = jax.random.PRNGKey(5)
+
+    s_single = SlamState.create(cfg)
+    s_single, aux1 = slam_step(
+        s_single, key, (jnp.float32(1.0), jnp.float32(0.05)), z,
+        jnp.float32(1.0), jnp.asarray(False), cfg)
+
+    s_shard = shard_state(SlamState.create(cfg), mesh)
+    zr = replicate_measurements(z, mesh)
+    s_shard, aux2 = sharded_step(cfg, mesh)(
+        s_shard, key, (jnp.float32(1.0), jnp.float32(0.05)), zr,
+        jnp.float32(1.0), jnp.asarray(False))
+
+    np.testing.assert_allclose(np.asarray(aux1.expected_pose),
+                               np.asarray(aux2.expected_pose),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_single.log_weights),
+                               np.asarray(s_shard.log_weights),
+                               rtol=1e-4, atol=1e-5)
+    cn1 = np.asarray(s_single.cardinality)
+    cn2 = np.asarray(s_shard.cardinality)
+    assert not np.isnan(cn1).any() and not np.isnan(cn2).any()
+    fin = np.isfinite(cn1)
+    assert (fin == np.isfinite(cn2)).all()
+    np.testing.assert_allclose(cn1[fin], cn2[fin], rtol=1e-4, atol=1e-5)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
