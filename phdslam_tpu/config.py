@@ -165,6 +165,11 @@ class SlamConfig:
                                 # dominant cost
     mergeMinWeight: float = 1e-3  # fast-mode prune threshold (>= the
                                   # reference's minFeatureWeight)
+    selectByIndex: bool = True  # Pallas selection emits (weight, index)
+                                # and the caller gathers payload channels
+                                # outside (2 VPU reductions per pick vs 8);
+                                # numerically identical picks — False keeps
+                                # the original in-kernel payload extraction
     usePallas: bool = True      # allow the fused Pallas TPU kernels; set
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
@@ -273,6 +278,7 @@ _KEY_MAP = {
     "merge_mode": "mergeMode",
     "merge_min_weight": "mergeMinWeight",
     "use_pallas": "usePallas",
+    "select_by_index": "selectByIndex",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(SlamConfig)}

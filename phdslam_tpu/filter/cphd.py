@@ -482,12 +482,22 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         # unnormalized top-k1 detection candidates in one VMEM pass — the
         # [P,M,F] cross-product is never materialized (psi_terms only
         # needs its per-measurement logsumexp)
-        from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
         nv = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0))
-        (sum_exp, e_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-         _lpw_sel, _compat) = fused_update_select(z_rb, pre, gm, cfg,
-                                                  k1=k1, raw=True,
-                                                  n_valid=nv)
+        if cfg.selectByIndex:
+            from phdslam_tpu.filter.update import gather_selected
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select_by_index)
+            sum_exp, e_sel, f_sel, _compat = fused_update_select_by_index(
+                z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv)
+            (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+             _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
+        else:
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select)
+            (sum_exp, e_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+             _lpw_sel, _compat) = fused_update_select(z_rb, pre, gm, cfg,
+                                                      k1=k1, raw=True,
+                                                      n_valid=nv)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == 0)
         else:
@@ -532,21 +542,12 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
                         + terms.scale_detect[:, :, None])
         w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
     else:
+        from phdslam_tpu.filter.update import gather_selected
         w_detect = jnp.exp(lw + terms.scale_detect[:, :, None])  # [P,M,F]
         w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
         w_sel, f_sel = jax.lax.top_k(w_det_p, k1)               # [P,M,k1]
-        take_sel = lambda a: jnp.take_along_axis(
-            a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
-        from phdslam_tpu.ops.linalg import wrap_angle
-        ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
-        ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
-        mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
-            + take_sel(pre.g01) * ib_sel
-        my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
-            + take_sel(pre.g11) * ib_sel
-        u00_sel = take_sel(pre.u00)
-        u01_sel = take_sel(pre.u01)
-        u11_sel = take_sel(pre.u11)
+        (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+         _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
 
     flat = lambda a: a.reshape(P, M * k1)
     cat = lambda a, b: jnp.concatenate([a, b], axis=-1)

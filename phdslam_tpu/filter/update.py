@@ -189,6 +189,32 @@ def detection_log_weights(pre: PreUpdate, gm: Gaussian2DMixture, z_rb,
     return jnp.where(ok, lw, neg_inf)
 
 
+def gather_selected(pre: PreUpdate, gm: Gaussian2DMixture, z_rb, f_sel):
+    """Reconstruct the merge-candidate payload channels from picked feature
+    indices f_sel [P, M, k1].
+
+    Every payload channel is measurement-independent per feature (updated
+    covariance, Kalman gains, log pd*w), and the updated detection means
+    are closed forms of the gains + the (measurement, feature) innovation —
+    so selection only has to identify WHICH feature won; the payload is
+    k1*M take_along_axis gathers from the [P, F] channels. Entries whose
+    selected weight is zero carry arbitrary (finite) payload; callers kill
+    them via the weight.
+    """
+    P, M, k1 = f_sel.shape
+    take_sel = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+    ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
+    ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
+    mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
+        + take_sel(pre.g01) * ib_sel
+    my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
+        + take_sel(pre.g11) * ib_sel
+    lpw_sel = safe_log(take_sel(pre.pd)) + safe_log(take_sel(gm.w))
+    return (mx_sel, my_sel, take_sel(pre.u00), take_sel(pre.u01),
+            take_sel(pre.u11), lpw_sel)
+
+
 class UpdateResult(NamedTuple):
     map_out: Gaussian2DMixture   # merged + pass-through map, [P, F]
     log_weight_delta: jax.Array  # [P] multi-object likelihood increment
@@ -228,11 +254,21 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     use_pallas = (cfg.usePallas
                   and jax.default_backend() in ("tpu", "axon"))
     if use_pallas:
-        from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
         nv = jnp.max(jnp.where(z_valid, jnp.arange(M) + 1, 0))
-        (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-         lpw_sel, compatible) = fused_update_select(z_rb, pre, gm, cfg,
-                                                    k1=k1, n_valid=nv)
+        if cfg.selectByIndex:
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select_by_index)
+            sum_exp, w_sel, f_sel, compatible = \
+                fused_update_select_by_index(z_rb, pre, gm, cfg, k1=k1,
+                                             n_valid=nv)
+            (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+             lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
+        else:
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select)
+            (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+             lpw_sel, compatible) = fused_update_select(z_rb, pre, gm, cfg,
+                                                        k1=k1, n_valid=nv)
         # per-measurement validity/label gating (column masks)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == STATIC_MEASUREMENT)
@@ -321,18 +357,8 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
         # per-measurement selection via top_k + small gathers along F
         w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
         w_sel, f_sel = jax.lax.top_k(w_det_p, k1)             # [P,M,k1]
-        take_sel = lambda a: jnp.take_along_axis(
-            a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
-        ir_sel = z_rb[None, :, None, 0] - take_sel(pre.r)
-        ib_sel = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre.bearing))
-        mx_sel = take_sel(gm.mx) + take_sel(pre.g00) * ir_sel \
-            + take_sel(pre.g01) * ib_sel
-        my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
-            + take_sel(pre.g11) * ib_sel
-        u00_sel = take_sel(pre.u00)
-        u01_sel = take_sel(pre.u01)
-        u11_sel = take_sel(pre.u11)
-        lpw_sel = safe_log(take_sel(pre.pd)) + safe_log(take_sel(gm.w))
+        (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+         lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
     else:
         # pallas path already pruned at minw inside the kernel
         pass

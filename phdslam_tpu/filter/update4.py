@@ -335,13 +335,22 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     if use_pallas:
         # fused raw-mode kernel: detection masses + unnormalized top-k1
         # candidates without materializing [P, M, F2]
-        from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
         k1s = min(8, F2)
         nv2 = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0))
-        (sum_exp2, e_sel2, mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
-         _lpw, _compat) = fused_update_select(z_rb, pre2, gm2, cfg,
-                                              k1=k1s, raw=True,
-                                              n_valid=nv2)
+        if cfg.selectByIndex:
+            from phdslam_tpu.filter.update import gather_selected
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select_by_index)
+            sum_exp2, e_sel2, f_sel2, _compat = fused_update_select_by_index(
+                z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2)
+            (mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
+             _lpw) = gather_selected(pre2, gm2, z_rb, f_sel2)
+        else:
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select)
+            (sum_exp2, e_sel2, mx_sel2, my_sel2, u00_sel2, u01_sel2,
+             u11_sel2, _lpw, _compat) = fused_update_select(
+                z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2)
         if cfg.labeledMeasurements:
             m_ok2 = z_valid & (z_label == STATIC_MEASUREMENT)
         else:
@@ -354,11 +363,18 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
 
     pre4 = kalman_preupdate4(pose, gm4, cfg)
     if use_pallas:
-        from phdslam_tpu.kernels.preupdate_pallas import (
-            fused_update_select4)
         k1d = min(8, F4)
-        sum_exp4, e_sel4, mean_sel4, cov_sel4 = fused_update_select4(
-            z_rb, pre4, gm4, k1=k1d)
+        if cfg.selectByIndex:
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select4_by_index)
+            sum_exp4, e_sel4, f_sel4 = fused_update_select4_by_index(
+                z_rb, pre4, gm4, k1=k1d)
+            mean_sel4, cov_sel4 = gather_selected4(pre4, gm4, z_rb, f_sel4)
+        else:
+            from phdslam_tpu.kernels.preupdate_pallas import (
+                fused_update_select4)
+            sum_exp4, e_sel4, mean_sel4, cov_sel4 = fused_update_select4(
+                z_rb, pre4, gm4, k1=k1d)
         if cfg.labeledMeasurements:
             m_ok4 = z_valid & (z_label == DYNAMIC_MEASUREMENT)
         else:
@@ -451,19 +467,14 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
     P, F = gm2.w.shape
     M = z_rb.shape[0]
     minw = cfg.minFeatureWeight
+    from phdslam_tpu.filter.update import gather_selected
+
     k1 = min(8, F)
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
-    take_sel = lambda a: jnp.take_along_axis(
-        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
-    ir = z_rb[None, :, None, 0] - take_sel(pre2.r)
-    ib = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre2.bearing))
-    mx_sel = take_sel(gm2.mx) + take_sel(pre2.g00) * ir \
-        + take_sel(pre2.g01) * ib
-    my_sel = take_sel(gm2.my) + take_sel(pre2.g10) * ir \
-        + take_sel(pre2.g11) * ib
-    sel = (w_sel, mx_sel, my_sel, take_sel(pre2.u00),
-           take_sel(pre2.u01), take_sel(pre2.u11))
+    (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
+     _lpw) = gather_selected(pre2, gm2, z_rb, f_sel)
+    sel = (w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel)
     return _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb,
                                   pose, cfg)
 
@@ -515,6 +526,27 @@ def _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb, pose, cfg):
                              c11=m11)
 
 
+def gather_selected4(pre4, gm4, z_rb, f_sel):
+    """4-D analogue of filter.update.gather_selected: reconstruct the
+    detection means (via the measurement-independent gains) and updated
+    covariances from picked feature indices f_sel [P, M, k1]."""
+    P, M, k1 = f_sel.shape
+    take_sel = lambda a: jnp.take_along_axis(
+        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
+    take_selc = lambda a: jnp.take_along_axis(
+        a[:, :, None, :],
+        jnp.broadcast_to(f_sel[:, None], (P, a.shape[1], M, k1)), axis=3)
+    ir = z_rb[None, :, None, 0] - take_sel(pre4.r)
+    ib = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre4.bearing))
+    gk = take_selc(pre4.gain)                                   # [P,8,M,k1]
+    mean_f = take_selc(gm4.mean_channels)                       # [P,4,M,k1]
+    mean_det = jnp.stack(
+        [mean_f[:, i] + gk[:, 2 * i] * ir + gk[:, 2 * i + 1] * ib
+         for i in range(4)], axis=1)
+    cov_det = take_selc(pre4.cov_update)                        # [P,10,M,k1]
+    return mean_det, cov_det
+
+
 def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     """Dynamic-map candidate pool + 4-D merge, sectioned layout
     [non-detections F | detections M*k1 | births M]. NOTE: the reference
@@ -530,20 +562,7 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     k1 = min(8, F)
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
-    take_sel = lambda a: jnp.take_along_axis(
-        a[:, None, :], jnp.broadcast_to(f_sel, (P, M, k1)), axis=2)
-    take_selc = lambda a: jnp.take_along_axis(
-        a[:, :, None, :],
-        jnp.broadcast_to(f_sel[:, None], (P, a.shape[1], M, k1)), axis=3)
-    ir = z_rb[None, :, None, 0] - take_sel(pre4.r)
-    ib = wrap_angle(z_rb[None, :, None, 1] - take_sel(pre4.bearing))
-
-    gk = take_selc(pre4.gain)                                   # [P,8,M,k1]
-    mean_f = take_selc(gm4.mean_channels)                       # [P,4,M,k1]
-    mean_det = jnp.stack(
-        [mean_f[:, i] + gk[:, 2 * i] * ir + gk[:, 2 * i + 1] * ib
-         for i in range(4)], axis=1)
-    cov_det = take_selc(pre4.cov_update)                        # [P,10,M,k1]
+    mean_det, cov_det = gather_selected4(pre4, gm4, z_rb, f_sel)
 
     bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg)
     mean_b = jnp.stack(bm, axis=1)                              # [P,4,M]

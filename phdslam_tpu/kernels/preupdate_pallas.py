@@ -35,6 +35,67 @@ LOG_2PI = 1.8378770664093453
 NEG_LARGE = -1e30
 
 
+def _kernel_by_index(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref,
+                     si01_ref, si11_ref, lds_ref,
+                     sum_ref, wsel_ref, idxsel_ref, compat_ref,
+                     *, n_measure: int, k1: int, clutter_birth: float,
+                     min_weight: float, gate_threshold: float, raw: bool):
+    """Selection-only variant: per pick it emits the winning weight AND the
+    winning feature INDEX instead of extracting six payload channels with
+    masked reductions. The payload (updated means, covariances, log pd*w)
+    is measurement-independent per feature, so the caller reconstructs it
+    outside with [P, M, k1] take_along_axis gathers — O(P*M*k1) HBM traffic
+    versus O(k1 * P*M*F) VPU reduction work in here. Two reductions per
+    pick (max + first-index) instead of eight."""
+    r = r_ref[:, :]
+    b = b_ref[:, :]
+    lpw = lpw_ref[:, :]
+    base = lpw - LOG_2PI - 0.5 * lds_ref[:, :]
+    si00 = si00_ref[:, :]
+    si01 = si01_ref[:, :]
+    si11 = si11_ref[:, :]
+    tp, F = r.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
+    two_pi = 2.0 * math.pi
+
+    sum_ref[:, :] = jnp.zeros((n_measure, tp), r.dtype)
+    compat_ref[:, :] = jnp.zeros((n_measure, tp), r.dtype)
+    wsel_ref[:, :, :] = jnp.zeros((n_measure, k1, tp), r.dtype)
+    idxsel_ref[:, :, :] = jnp.zeros((n_measure, k1, tp), jnp.int32)
+
+    def one_measurement(m, _):
+        ir = z_ref[m, 0] - r
+        ib = z_ref[m, 1] - b
+        ib = ib - two_pi * jnp.round(ib / two_pi)
+        dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
+        dist = jnp.maximum(dist, 0.0)
+        e = jnp.exp(base - 0.5 * dist)                     # [tp, F]
+        s = jnp.sum(e, axis=1)                             # [tp]
+        sum_ref[m, :] = s
+        in_rng = lpw > (0.5 * NEG_LARGE)
+        compat_ref[m, :] = jnp.max(
+            jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0), axis=1)
+        if raw:
+            w_det = e
+        else:
+            w_det = e * (1.0 / (s + clutter_birth))[:, None]
+            w_det = jnp.where(w_det >= min_weight, w_det, 0.0)
+
+        wrem = w_det
+        for j in range(k1):
+            mval = jnp.max(wrem, axis=1)                   # [tp]
+            hit = wrem == mval[:, None]
+            first = jnp.min(jnp.where(hit, iota, F), axis=1)
+            alive = mval > 0.0
+            wsel_ref[m, j, :] = jnp.where(alive, mval, 0.0)
+            idxsel_ref[m, j, :] = jnp.where(alive, first, 0)
+            wrem = jnp.where(iota == first[:, None], 0.0, wrem)
+        return 0
+
+    nv = jnp.minimum(nv_ref[0], n_measure)
+    jax.lax.fori_loop(0, nv, one_measurement, 0)
+
+
 def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
             si11_ref,
             lds_ref, mx_ref, my_ref, g00_ref, g01_ref, g10_ref, g11_ref,
@@ -190,6 +251,75 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
     return (sum_exp,) + tuple(sel) + (compat,)
 
 
+@functools.partial(jax.jit, static_argnums=(3,),
+                   static_argnames=("k1", "tile_p", "interpret", "raw"))
+def fused_update_select_by_index(z_rb, pre, gm, cfg, k1: int = 8,
+                                 tile_p: int = 128,
+                                 interpret: bool = False,
+                                 raw: bool = False, n_valid=None):
+    """Selection-only fused kernel: returns (sum_exp [P,M], w_sel [P,M,k1],
+    idx_sel [P,M,k1] int32, compat [P,M]).
+
+    Same selection semantics as fused_update_select (same picks, same
+    pruned/normalized weights), but payload channels are NOT extracted
+    in-kernel: the caller gathers them by idx_sel with take_along_axis.
+    Entries with w_sel == 0 carry idx 0 (callers must mask on the weight).
+    """
+    from phdslam_tpu.ops.linalg import safe_log
+
+    P0, F = pre.r.shape
+    M = z_rb.shape[0]
+    lpw = jnp.maximum(safe_log(pre.pd) + safe_log(gm.w), NEG_LARGE)
+    chans = [pre.r, pre.bearing, lpw, pre.si00, pre.si01, pre.si11,
+             pre.log_det_s]
+    pad = (-P0) % tile_p
+    if pad:
+        chans = [jnp.pad(c, ((0, pad), (0, 0)),
+                         constant_values=NEG_LARGE if i == 2 else
+                         (1.0 if i in (3, 5) else 0.0))
+                 for i, c in enumerate(chans)]
+    P = P0 + pad
+    nv = jnp.full((1,), M, jnp.int32) if n_valid is None \
+        else jnp.asarray(n_valid, jnp.int32).reshape(1)
+
+    chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_mp = pl.BlockSpec((M, tile_p), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    out_mkp = pl.BlockSpec((M, k1, tile_p), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    dtype = pre.r.dtype
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel_by_index, n_measure=M, k1=k1,
+            clutter_birth=float(cfg.clutterDensity + cfg.birthWeight),
+            min_weight=float(cfg.minFeatureWeight),
+            gate_threshold=float(cfg.gateThreshold), raw=raw),
+        grid=(P // tile_p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [chan] * 7,
+        out_specs=(out_mp, out_mkp, out_mkp, out_mp),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, P), dtype),
+            jax.ShapeDtypeStruct((M, k1, P), dtype),
+            jax.ShapeDtypeStruct((M, k1, P), jnp.int32),
+            jax.ShapeDtypeStruct((M, P), dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(48e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=(12 + 4 * k1) * P * M * F,
+            bytes_accessed=(7 * P * F + 4 * P * M * k1) * 4,
+            transcendentals=P * M * F),
+        interpret=interpret,
+    )(z_rb, nv, *chans)
+    sum_exp = jnp.transpose(outs[0], (1, 0))[:P0]           # [P, M]
+    w_sel = jnp.transpose(outs[1], (2, 0, 1))[:P0]          # [P, M, k1]
+    idx_sel = jnp.transpose(outs[2], (2, 0, 1))[:P0]        # [P, M, k1]
+    compat = jnp.transpose(outs[3], (1, 0))[:P0] > 0.5      # [P, M]
+    return sum_exp, w_sel, idx_sel, compat
+
+
 def sum_exp_reference(z_rb, z_valid, pre, gm, cfg):
     """XLA reference path for the normalizer numerators (tests/fallback)."""
     from phdslam_tpu.filter.update import detection_log_weights
@@ -198,6 +328,97 @@ def sum_exp_reference(z_rb, z_valid, pre, gm, cfg):
                                jnp.zeros(z_rb.shape[0], jnp.int32),
                                z_valid, cfg)
     return jnp.sum(jnp.exp(lw), axis=-1)
+
+
+def _kernel4_by_index(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
+                      si11_ref, lds_ref,
+                      sum_ref, wsel_ref, idxsel_ref,
+                      *, n_measure: int, k1: int):
+    """4-D selection-only variant (see _kernel_by_index): per pick, the
+    winning raw detection value and its feature index; the caller gathers
+    the 14 payload channels (4 means via gains, 10 covariances) outside."""
+    r = r_ref[:, :]
+    b = b_ref[:, :]
+    base = lpw_ref[:, :] - LOG_2PI - 0.5 * lds_ref[:, :]
+    si00 = si00_ref[:, :]
+    si01 = si01_ref[:, :]
+    si11 = si11_ref[:, :]
+    tp, F = r.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
+    two_pi = 2.0 * math.pi
+
+    def one_measurement(mi, _):
+        ir = z_ref[mi, 0] - r
+        ib = z_ref[mi, 1] - b
+        ib = ib - two_pi * jnp.round(ib / two_pi)
+        dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
+        dist = jnp.maximum(dist, 0.0)
+        e = jnp.exp(base - 0.5 * dist)
+        sum_ref[mi, :] = jnp.sum(e, axis=1)
+
+        wrem = e
+        for j in range(k1):
+            mval = jnp.max(wrem, axis=1)
+            hit = wrem == mval[:, None]
+            first = jnp.min(jnp.where(hit, iota, F), axis=1)
+            alive = mval > 0.0
+            wsel_ref[mi, j, :] = jnp.where(alive, mval, 0.0)
+            idxsel_ref[mi, j, :] = jnp.where(alive, first, 0)
+            wrem = jnp.where(iota == first[:, None], 0.0, wrem)
+        return 0
+
+    jax.lax.fori_loop(0, n_measure, one_measurement, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k1", "tile_p", "interpret"))
+def fused_update_select4_by_index(z_rb, pre4, gm4, k1: int = 8,
+                                  tile_p: int = 128,
+                                  interpret: bool = False):
+    """Selection-only 4-D kernel: returns (sum_exp [P,M], w_sel [P,M,k1],
+    idx_sel [P,M,k1] int32) — raw (unnormalized) detection values; the
+    caller reconstructs means/covariances by gathering at idx_sel."""
+    from phdslam_tpu.ops.linalg import safe_log
+
+    P0, F = pre4.r.shape
+    M = z_rb.shape[0]
+    lpw = jnp.maximum(safe_log(pre4.pd) + safe_log(gm4.w), NEG_LARGE)
+    chans = [pre4.r, pre4.bearing, lpw, pre4.si00, pre4.si01, pre4.si11,
+             pre4.log_det_s]
+    pad = (-P0) % tile_p
+    if pad:
+        chans = [jnp.pad(ch, ((0, pad), (0, 0)),
+                         constant_values=NEG_LARGE if i == 2 else 0.0)
+                 for i, ch in enumerate(chans)]
+    P = P0 + pad
+
+    chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_mp = pl.BlockSpec((M, tile_p), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    out_mkp = pl.BlockSpec((M, k1, tile_p), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    dtype = pre4.r.dtype
+    outs = pl.pallas_call(
+        functools.partial(_kernel4_by_index, n_measure=M, k1=k1),
+        grid=(P // tile_p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [chan] * 7,
+        out_specs=(out_mp, out_mkp, out_mkp),
+        out_shape=(jax.ShapeDtypeStruct((M, P), dtype),
+                   jax.ShapeDtypeStruct((M, k1, P), dtype),
+                   jax.ShapeDtypeStruct((M, k1, P), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(48e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=(20 + 4 * k1) * P * M * F,
+            bytes_accessed=(7 * P * F + 4 * P * M * k1) * 4,
+            transcendentals=P * M * F),
+        interpret=interpret,
+    )(z_rb, *chans)
+    sum_exp = jnp.transpose(outs[0], (1, 0))[:P0]
+    w_sel = jnp.transpose(outs[1], (2, 0, 1))[:P0]
+    idx_sel = jnp.transpose(outs[2], (2, 0, 1))[:P0]
+    return sum_exp, w_sel, idx_sel
 
 
 def _kernel4(z_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref, si11_ref,

@@ -90,27 +90,113 @@ def test_fused_update_select_interpret_matches_xla(tiny_cfg, rng, k1):
             rtol=2e-4, atol=1e-6)
 
 
-def test_full_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
-    """phd_update_static's kernel branch (forced, interpret mode) must match
-    its XLA branch bit-for-near on the same inputs."""
-    import phdslam_tpu.filter.update as U
+def _patch_pallas_interpret(monkeypatch):
+    """Force every Pallas kernel entry point into interpret mode and spoof
+    the backend, so the kernel branches run (and are checked) on CPU."""
+    import phdslam_tpu.kernels.merge_pallas as MK
     import phdslam_tpu.kernels.preupdate_pallas as K
 
+    for mod, name in ((K, "fused_update_select"),
+                      (K, "fused_update_select_by_index"),
+                      (K, "fused_update_select4"),
+                      (K, "fused_update_select4_by_index"),
+                      (MK, "greedy_merge_pallas"),
+                      (MK, "greedy_merge4_pallas")):
+        orig = getattr(mod, name)
+        monkeypatch.setattr(
+            mod, name,
+            (lambda o: lambda *a, **kw: o(*a, **{**kw, "interpret": True})
+             )(orig))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+@pytest.mark.parametrize("raw", [False, True])
+def test_select_by_index_matches_payload_kernel(tiny_cfg, rng, raw):
+    """The by-index kernel must make the SAME picks as the payload kernel
+    (identical weights), and the outside gather must reconstruct the same
+    payload channels for every live pick."""
+    from phdslam_tpu.filter.update import gather_selected, kalman_preupdate
+    from phdslam_tpu.kernels.preupdate_pallas import (
+        fused_update_select, fused_update_select_by_index)
+
     cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    pre = kalman_preupdate(pose, gm, cfg)
+    k1 = 4
+    (sum_a, w_a, mx_a, my_a, u00_a, u01_a, u11_a, lpw_a,
+     compat_a) = fused_update_select(z_rb, pre, gm, cfg, k1=k1, raw=raw,
+                                     interpret=True)
+    sum_b, w_b, idx, compat_b = fused_update_select_by_index(
+        z_rb, pre, gm, cfg, k1=k1, raw=raw, interpret=True)
+    (mx_b, my_b, u00_b, u01_b, u11_b, lpw_b) = gather_selected(
+        pre, gm, z_rb, idx)
+
+    np.testing.assert_array_equal(np.asarray(sum_a), np.asarray(sum_b))
+    np.testing.assert_array_equal(np.asarray(compat_a),
+                                  np.asarray(compat_b))
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+    live = np.asarray(w_a) > 0
+    for a, b in ((mx_a, mx_b), (my_a, my_b), (u00_a, u00_b),
+                 (u01_a, u01_b), (u11_a, u11_b), (lpw_a, lpw_b)):
+        np.testing.assert_allclose(np.asarray(a)[live],
+                                   np.asarray(b)[live],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_select4_by_index_matches_payload_kernel(tiny_cfg, rng):
+    from phdslam_tpu.filter.state import Gaussian4DMixture
+    from phdslam_tpu.filter.update4 import (gather_selected4,
+                                            kalman_preupdate4)
+    from phdslam_tpu.kernels.preupdate_pallas import (
+        fused_update_select4, fused_update_select4_by_index)
+
+    cfg, _, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    P = pose.shape[0]
+    F4 = 64
+    w4 = (rng.uniform(size=(P, F4)) < 0.4) * rng.uniform(0.1, 1.0, (P, F4))
+    gm4 = Gaussian4DMixture.empty((P,), F4)
+    mean4 = np.zeros((P, 4, F4), np.float32)
+    mean4[:, 0] = rng.uniform(-8, 8, (P, F4))
+    mean4[:, 1] = rng.uniform(-8, 8, (P, F4))
+    mean4[:, 2:] = rng.uniform(-0.5, 0.5, (P, 2, F4))
+    gm4 = Gaussian4DMixture(w=jnp.asarray(w4, jnp.float32),
+                            mean_channels=jnp.asarray(mean4),
+                            cov_channels=jnp.asarray(
+                                np.asarray(gm4.cov_channels) * 0.3))
+    pre4 = kalman_preupdate4(pose, gm4, cfg)
+    k1 = 4
+    sum_a, w_a, mean_a, cov_a = fused_update_select4(
+        z_rb, pre4, gm4, k1=k1, interpret=True)
+    sum_b, w_b, idx = fused_update_select4_by_index(
+        z_rb, pre4, gm4, k1=k1, interpret=True)
+    mean_b, cov_b = gather_selected4(pre4, gm4, z_rb, idx)
+
+    np.testing.assert_array_equal(np.asarray(sum_a), np.asarray(sum_b))
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+    live = np.asarray(w_a) > 0                                 # [P,M,k1]
+    live_m = np.broadcast_to(live[:, None], np.asarray(mean_a).shape)
+    live_c = np.broadcast_to(live[:, None], np.asarray(cov_a).shape)
+    np.testing.assert_allclose(np.asarray(mean_a)[live_m],
+                               np.asarray(mean_b)[live_m],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cov_a)[live_c],
+                               np.asarray(cov_b)[live_c],
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("by_index", [False, True])
+def test_full_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch,
+                                             by_index):
+    """phd_update_static's kernel branch (forced, interpret mode) must match
+    its XLA branch bit-for-near on the same inputs — in both selection
+    modes (in-kernel payload extraction and by-index + outside gathers)."""
+    import phdslam_tpu.filter.update as U
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    cfg = cfg.replace(selectByIndex=by_index)
     z_label = jnp.zeros((z_rb.shape[0],), jnp.int32)
     res_xla = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
 
-    import phdslam_tpu.kernels.merge_pallas as MK
-
-    orig = K.fused_update_select
-    monkeypatch.setattr(
-        K, "fused_update_select",
-        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
-    orig_merge = MK.greedy_merge_pallas
-    monkeypatch.setattr(
-        MK, "greedy_merge_pallas",
-        lambda *a, **kw: orig_merge(*a, **{**kw, "interpret": True}))
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _patch_pallas_interpret(monkeypatch)
     res_pal = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
 
     np.testing.assert_allclose(np.asarray(res_pal.log_weight_delta),
@@ -256,15 +342,16 @@ def test_merge_pallas_hellinger_matches_xla(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_cphd_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
+@pytest.mark.parametrize("by_index", [False, True])
+def test_cphd_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch,
+                                             by_index):
     """cphd_update's kernel branch (raw-mode selection, interpret) must
     match its XLA branch on the same inputs."""
     from phdslam_tpu.filter import cphd as C
-    import phdslam_tpu.kernels.merge_pallas as MK
-    import phdslam_tpu.kernels.preupdate_pallas as K
 
     cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
-    cfg = cfg.replace(filterType=1, maxCardinality=31)
+    cfg = cfg.replace(filterType=1, maxCardinality=31,
+                      selectByIndex=by_index)
     consts = C.make_constants(cfg)
     ncard = cfg.maxCardinality + 1
     cn = jnp.log(jnp.full((pose.shape[0], ncard), 1.0 / ncard))
@@ -273,15 +360,7 @@ def test_cphd_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
     map_x, cn_x, dw_x = C.cphd_update(pose, gm, cn, z_rb, z_label,
                                       z_valid, cfg, consts)
 
-    orig = K.fused_update_select
-    monkeypatch.setattr(
-        K, "fused_update_select",
-        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
-    orig_merge = MK.greedy_merge_pallas
-    monkeypatch.setattr(
-        MK, "greedy_merge_pallas",
-        lambda *a, **kw: orig_merge(*a, **{**kw, "interpret": True}))
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _patch_pallas_interpret(monkeypatch)
     map_p, cn_p, dw_p = C.cphd_update(pose, gm, cn, z_rb, z_label,
                                       z_valid, cfg, consts)
 
@@ -294,16 +373,17 @@ def test_cphd_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
         np.sort(np.asarray(map_x.w), axis=-1), rtol=1e-3, atol=1e-5)
 
 
-def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
+@pytest.mark.parametrize("by_index", [False, True])
+def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch,
+                                              by_index):
     """phd_update_mixed's static-half kernel branch (raw mode, interpret)
     vs the pure-XLA branch."""
-    import phdslam_tpu.kernels.merge_pallas as MK
-    import phdslam_tpu.kernels.preupdate_pallas as K
     from phdslam_tpu.filter.state import Gaussian4DMixture
     from phdslam_tpu.filter.update4 import phd_update_mixed
 
     cfg, gm2, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
-    cfg = cfg.replace(featureModel=2, maxFeatures=gm2.w.shape[1])
+    cfg = cfg.replace(featureModel=2, maxFeatures=gm2.w.shape[1],
+                      selectByIndex=by_index)
     P, F = gm2.w.shape
     F4 = F // 2
     gm4 = Gaussian4DMixture.empty((P,), F4)
@@ -323,23 +403,7 @@ def test_mixed_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch):
     g2x, g4x, dwx = phd_update_mixed(pose, gm2, gm4, z_rb, z_label,
                                      z_valid, cfg)
 
-    orig = K.fused_update_select
-    monkeypatch.setattr(
-        K, "fused_update_select",
-        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
-    orig4 = K.fused_update_select4
-    monkeypatch.setattr(
-        K, "fused_update_select4",
-        lambda *a, **kw: orig4(*a, **{**kw, "interpret": True}))
-    orig_merge = MK.greedy_merge_pallas
-    monkeypatch.setattr(
-        MK, "greedy_merge_pallas",
-        lambda *a, **kw: orig_merge(*a, **{**kw, "interpret": True}))
-    orig_merge4 = MK.greedy_merge4_pallas
-    monkeypatch.setattr(
-        MK, "greedy_merge4_pallas",
-        lambda *a, **kw: orig_merge4(*a, **{**kw, "interpret": True}))
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _patch_pallas_interpret(monkeypatch)
     g2p, g4p, dwp = phd_update_mixed(pose, gm2, gm4, z_rb, z_label,
                                      z_valid, cfg)
 
