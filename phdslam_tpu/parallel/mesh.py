@@ -116,6 +116,33 @@ def sharded_run_scan(cfg, mesh: Mesh, with_log_state: bool = False):
     )
 
 
+def sharded_disparity_step(cfg, mesh: Mesh):
+    """Particle-axis-sharded disparity (monocular SC-PHD) step. The
+    DisparityState pytree is per-particle on every leaf (camera pose,
+    feature weights, particle clouds), so the same leading-axis sharding
+    applies; weight normalization/nEff lower to all-reduces and the global
+    stratified resample's cloud gather crosses devices, exactly as the
+    2-D landmark path."""
+    from phdslam_tpu.filter.disparity import DisparityState, disparity_step
+
+    rep = replicated(mesh)
+    if mesh.devices.flat[0].platform not in ("tpu",):
+        cfg = cfg.replace(usePallas=False)
+
+    def step(state, key, z_uv, z_valid, dt, do_predict):
+        return disparity_step(state, key, z_uv, z_valid, dt, do_predict,
+                              cfg)
+
+    dummy = DisparityState.create(cfg)
+    st_shard = state_shardings(dummy, mesh)
+    return jax.jit(
+        step,
+        in_shardings=(st_shard, rep, rep, rep, rep, rep),
+        out_shardings=(st_shard, None),
+        donate_argnums=(0,),
+    )
+
+
 def sharded_step(cfg, mesh: Mesh):
     """Return a jit-compiled slam_step whose state inputs/outputs are pinned
     to the particle sharding (donated to avoid copies on the big maps)."""

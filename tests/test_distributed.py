@@ -123,6 +123,53 @@ def test_sharded_cphd_matches_single_device(tiny_cfg, mesh):
     np.testing.assert_allclose(cn1[fin], cn2[fin], rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_disparity_matches_single_device(mesh):
+    """The monocular SC-PHD pipeline under the same particle-axis sharding:
+    every DisparityState leaf is per-particle (camera pose, feature
+    weights, clouds), so sharded == single-device must hold here too."""
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.disparity import DisparityState, disparity_step
+    from phdslam_tpu.parallel.mesh import sharded_disparity_step
+
+    cfg = load_config("/root/reference/cfg/config.cfg").replace(
+        n_particles=16, maxFeatures=8, maxMeasurements=8,
+        particlesPerFeature=32, birthWeight=1e-2, pd=0.95,
+        minSeparation=16.0, ax=0.01, ay=0.01, az=0.01,
+        aroll=0.001, apitch=0.001, ayaw=0.001, dt=0.1,
+        particleWeighting=0, clutterRate=2.0)
+    m = cfg.maxMeasurements
+    z_uv = np.zeros((m, 2), np.float32)
+    z_uv[:4, 0] = np.linspace(150, 450, 4)
+    z_uv[:4, 1] = np.linspace(120, 380, 4)
+    z_val = np.zeros(m, bool)
+    z_val[:4] = True
+    key = jax.random.PRNGKey(7)
+
+    s_single = DisparityState.create(cfg)
+    s_shard = jax.device_put(
+        DisparityState.create(cfg), state_shardings(s_single, mesh))
+    step = sharded_disparity_step(cfg, mesh)
+    for t in range(2):
+        key, sk = jax.random.split(key)
+        s_single, aux1 = disparity_step(
+            s_single, sk, jnp.asarray(z_uv), jnp.asarray(z_val),
+            jnp.float32(cfg.dt), jnp.asarray(t > 0), cfg)
+        s_shard, aux2 = step(
+            s_shard, sk, jnp.asarray(z_uv), jnp.asarray(z_val),
+            jnp.float32(cfg.dt), jnp.asarray(t > 0))
+
+    assert len(s_shard.log_weights.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(aux1.expected_pose),
+                               np.asarray(aux2.expected_pose),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_single.log_weights),
+                               np.asarray(s_shard.log_weights),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_single.w),
+                               np.asarray(s_shard.w),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
