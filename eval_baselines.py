@@ -105,7 +105,7 @@ def main():
     tpu_reexec_retry()
 
     results = {}
-    lines = ["# RESULTS — BASELINE.md configurations (round 2)",
+    lines = ["# RESULTS — BASELINE.md configurations (round 3)",
              "",
              f"Backend: single TPU v5e chip via the experimental tunnel;"
              f" quick={QUICK}", ""]

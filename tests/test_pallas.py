@@ -184,6 +184,36 @@ def test_select4_by_index_matches_payload_kernel(tiny_cfg, rng):
 
 
 @pytest.mark.parametrize("by_index", [False, True])
+def test_full_update_partial_measurements(tiny_cfg, rng, monkeypatch,
+                                          by_index):
+    """Dynamic measurement count: with only k of M measurement slots valid,
+    the kernel's n_valid early-exit (zeroed trailing columns) must still
+    match the XLA branch exactly."""
+    import phdslam_tpu.filter.update as U
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    cfg = cfg.replace(selectByIndex=by_index)
+    M = z_rb.shape[0]
+    z_valid = jnp.asarray(np.arange(M) < 3)
+    z_label = jnp.zeros((M,), jnp.int32)
+    res_xla = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
+
+    _patch_pallas_interpret(monkeypatch)
+    res_pal = U.phd_update_static(pose, gm, z_rb, z_label, z_valid, cfg)
+
+    np.testing.assert_allclose(np.asarray(res_pal.log_weight_delta),
+                               np.asarray(res_xla.log_weight_delta),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res_pal.map_out.w), axis=-1),
+        np.sort(np.asarray(res_xla.map_out.w), axis=-1),
+        rtol=1e-3, atol=1e-6)
+    # det_mass columns beyond the valid count must be exactly zero
+    np.testing.assert_array_equal(
+        np.asarray(res_pal.det_mass)[:, 3:], 0.0)
+
+
+@pytest.mark.parametrize("by_index", [False, True])
 def test_full_update_pallas_vs_xla_interpret(tiny_cfg, rng, monkeypatch,
                                              by_index):
     """phd_update_static's kernel branch (forced, interpret mode) must match
