@@ -124,6 +124,10 @@ def main():
     print("== parity: scheme 1 (Vo empty-map)")
     ok &= compare(*run_both(cfg1, *prob))
 
+    cfgp = cfg.replace(selectByIndex=False)
+    print("== parity: in-kernel payload selection (select_by_index=0)")
+    ok &= compare(*run_both(cfgp, *prob))
+
     if not QUICK:
         # dense-stress timing, honest sync
         cfgd = load_config("cfg/ackerman_synth.cfg").replace(
