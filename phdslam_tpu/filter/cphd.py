@@ -451,7 +451,9 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     qdw = jnp.where(set_mask,
                     safe_log(1.0 - pre.pd) + safe_log(gm.w), NEG_INF)
     minw = cfg.minFeatureWeight
-    k1 = min(8, F)
+    # fast mode keeps the top-4 detection candidates per measurement, as
+    # in the static path (filter/update.py k1 rationale)
+    k1 = min(4 if cfg.mergeMode == 1 else 8, F)
 
     if cfg.cnPoissonPredict:
         # Predicted-cardinality prior: Poisson pmf of the IN-RANGE
