@@ -121,6 +121,37 @@ def test_global_path_hlo_shards_flops_and_gathers_maps(mesh8):
     assert re.search(r"f32\[8,32\]", hlo), "no [P/8, F] shard-shaped work"
 
 
+def test_disparity_path_hlo_shards_and_normalizes(mesh8):
+    """The sharded SC-PHD (disparity) step: per-device cloud tensors at
+    [P/8, F, Npp], an all-reduce for weight normalization, and a
+    cloud-sized collective for the global resample gather."""
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.disparity import DisparityState
+    from phdslam_tpu.parallel.mesh import (sharded_disparity_step,
+                                           state_shardings)
+
+    cfg = load_config("/root/reference/cfg/config.cfg").replace(
+        n_particles=16, maxFeatures=8, maxMeasurements=8,
+        particlesPerFeature=32, usePallas=False)
+    sd = DisparityState.create(cfg)
+    sd = jax.device_put(sd, state_shardings(sd, mesh8))
+    z_uv = jnp.zeros((8, 2), jnp.float32)
+    z_val = jnp.asarray(np.arange(8) < 4)
+    step = sharded_disparity_step(cfg, mesh8)
+    hlo = step.lower(sd, jax.random.PRNGKey(0), z_uv, z_val,
+                     jnp.float32(cfg.dt), jnp.asarray(True)) \
+              .compile().as_text()
+
+    colls = _collective_lines(hlo)
+    assert "all-reduce" in colls, sorted(colls)
+    # resample gather carries at least one full cloud-sized array
+    # (P * F * Npp * 4 bytes)
+    heavy = max(_max_bytes(v) for v in colls.values())
+    assert heavy >= 16 * 8 * 32 * 4, (heavy, sorted(colls))
+    # per-device work on [P/8, F, Npp] shards
+    assert re.search(r"f32\[2,8,32\]", hlo), "no shard-shaped cloud work"
+
+
 def test_island_path_hlo_moves_only_shard_sized_data(imesh8):
     """Butterfly exchange = collective-permutes of P_local-sized arrays;
     no all-gather / all-to-all of the global map anywhere."""
