@@ -462,7 +462,17 @@ def run_disparity(cfg: SlamConfig, args):
                     ms_per_step=ms_step)
 
     poses_out = []
-    for t in range(n_steps):
+    start_t = 0
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    if getattr(args, "resume", False):
+        from phdslam_tpu import checkpoint as ckpt
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest:
+            state, key, start_t = ckpt.restore_checkpoint(latest)
+            start_t += 1
+            print(f"resumed from {latest} at step {start_t}")
+    ckpt_every = getattr(args, "checkpoint_every", 0)
+    for t in range(start_t, n_steps):
         t0 = time.time()
         key, sk = jax.random.split(key)
         state, aux = disparity_step(
@@ -488,6 +498,9 @@ def run_disparity(cfg: SlamConfig, args):
             t=t, ms=elapsed_ms, neff=neff_val,
             n_measure=int(np.asarray(aux.n_measure)),
             card=float(np.asarray(state.w[map_idx]).sum())))
+        if ckpt_every and t > 0 and t % ckpt_every == 0:
+            from phdslam_tpu import checkpoint as ckpt
+            ckpt.save_checkpoint(ckpt_dir, t, state, key)
         if np.isnan(neff_val):
             print("nan weights detected! exiting...")
             break

@@ -231,6 +231,33 @@ def test_disparity_cli_operational(tmp_path):
         assert err < 2.0, (t, err)
     assert np.isfinite(res["poses"]).all()
 
+    # checkpoint + resume parity: interrupted-at-3 + resume must equal an
+    # uninterrupted run bit-for-bit (same keys, same schedule)
+    out_full = tmp_path / "full"
+    res_full = runner.main([str(cfg_path), "disparity", "--out-dir",
+                            str(out_full), "--data-dir", str(data_dir),
+                            "--checkpoint-every", "3"])
+    short = base.replace("n_steps = -1", "n_steps = 4") \
+        if "n_steps" in base else base + "\nn_steps = 4\n"
+    cfg_short = tmp_path / "d_short.cfg"
+    cfg_short.write_text(short)
+    out_res = tmp_path / "resumed"
+    runner.main([str(cfg_short), "disparity", "--out-dir", str(out_res),
+                 "--data-dir", str(data_dir), "--checkpoint-every", "3"])
+    res2 = runner.main([str(cfg_path), "disparity", "--out-dir",
+                        str(out_res), "--data-dir", str(data_dir),
+                        "--resume"])
+    # 4 metrics lines from the short run + 2 from the resumed tail — a
+    # silent from-scratch rerun would append 6 more
+    n_lines = len(open(out_res / "metrics.jsonl").read().splitlines())
+    assert n_lines == 6, n_lines
+    np.testing.assert_allclose(np.asarray(res2["state"].pose),
+                               np.asarray(res_full["state"].pose),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res2["state"].log_weights),
+                               np.asarray(res_full["state"].log_weights),
+                               rtol=1e-6, atol=1e-6)
+
 
 @pytest.mark.slow
 def test_disparity_scan_mode(tmp_path):
