@@ -348,16 +348,17 @@ def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
     filter.step.run_scan): one dispatch for the full run — the honest
     per-step compute cost without the per-dispatch tunnel latency loop
     mode pays. Carries the per-step pose/weight state for the pose log
-    contract (feature clouds are too large to stack per step; scan-mode
-    disparity logs write an empty map line).
+    contract (full feature clouds are too large to stack per step; the
+    map log uses the O(F)/step fitted summary below).
 
     with_map_log additionally stacks the MAP particle's per-step world
-    feature summary (w [F], cloud means [F, 3] — O(F) per step, the
-    3-D map-OSPA scoring input; the full clouds stay step-local).
+    feature summary (w [F], cloud means [F, 3], cloud covariances
+    [F, 3, 3] — O(F) per step, the 3-D map-OSPA scoring input and the
+    scan-mode map-log payload; the full clouds stay step-local).
 
     zs_rb [T, M, 2]; zs_valid [T, M]. Returns (final_state,
     (stacked DispAux, stacked (log_weights, poses, resample_idx)
-    [, stacked (map_w, map_mean)]))."""
+    [, stacked (map_w, map_mean, map_cov)]))."""
     keys = jax.random.split(key, length)
     t_idx = jnp.arange(length)
 
@@ -368,9 +369,20 @@ def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
         outs = (aux, (st.log_weights, st.pose, st.resample_idx))
         if with_map_log:
             idx = jnp.argmax(st.log_weights)
-            mean = jnp.stack([st.px[idx].mean(-1), st.py[idx].mean(-1),
-                              st.pz[idx].mean(-1)], axis=-1)    # [F, 3]
-            outs = outs + ((st.w[idx], mean),)
+            px, py, pz = st.px[idx], st.py[idx], st.pz[idx]   # [F, Npp]
+            mean = jnp.stack([px.mean(-1), py.mean(-1), pz.mean(-1)],
+                             axis=-1)                          # [F, 3]
+            den = 1.0 / max(px.shape[-1] - 1, 1)
+            dx = px - mean[:, 0:1]
+            dy = py - mean[:, 1:2]
+            dz = pz - mean[:, 2:3]
+            c = lambda a, b: jnp.sum(a * b, -1) * den
+            cov = jnp.stack([
+                jnp.stack([c(dx, dx), c(dx, dy), c(dx, dz)], -1),
+                jnp.stack([c(dx, dy), c(dy, dy), c(dy, dz)], -1),
+                jnp.stack([c(dx, dz), c(dy, dz), c(dz, dz)], -1)],
+                axis=-2)                                       # [F, 3, 3]
+            outs = outs + ((st.w[idx], mean, cov),)
         return st, outs
 
     return jax.lax.scan(body, state, (keys, zs_rb, zs_valid, t_idx))
@@ -429,11 +441,16 @@ def run_disparity(cfg: SlamConfig, args):
 
     if getattr(args, "mode", "loop") == "scan":
         t0 = time.time()
-        final, (auxs, (lws, poses_p, ridx)) = run_disparity_scan(
+        final, (auxs, (lws, poses_p, ridx),
+                (map_w, map_mean, map_cov)) = run_disparity_scan(
             state, key, jnp.asarray(rb[:n_steps]),
-            jnp.asarray(valid[:n_steps]), cfg, n_steps)
+            jnp.asarray(valid[:n_steps]), cfg, n_steps,
+            with_map_log=True)
         poses = np.asarray(auxs.expected_pose)   # host fetch == sync
         elapsed = time.time() - t0
+        map_w = np.asarray(map_w)
+        map_mean = np.asarray(map_mean)
+        map_cov = np.asarray(map_cov)
         neffs = np.asarray(auxs.neff)
         nan_steps = np.flatnonzero(~np.isfinite(neffs))
         t_valid = int(nan_steps[0]) if nan_steps.size else n_steps
@@ -444,11 +461,13 @@ def run_disparity(cfg: SlamConfig, args):
         for t in range(t_valid):
             logs.append_loop_time(out_dir, ms_step)
             if not getattr(args, "no_logs", False):
-                # pose log contract; map line empty in scan mode (clouds
-                # are too large to stack per step)
+                # full log contract: the scan stacks the MAP particle's
+                # per-step fitted world Gaussians (O(F)/step), so scan
+                # mode writes the same map line as loop mode
+                sel = map_w[t] > 0
                 logs.write_state_estimate_log(
                     out_dir, t, poses[t],
-                    np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3, 3)),
+                    map_w[t][sel], map_mean[t][sel], map_cov[t][sel],
                     particle_log_weights=np.asarray(lws[t]),
                     particle_poses=np.asarray(poses_p[t]),
                     resample_idx=np.asarray(ridx[t]),

@@ -75,7 +75,7 @@ def main():
         state = state.replace(pose=state.pose.at[:, 3].add(jitter[:, 0])
                               .at[:, 5].add(jitter[:, 1]))
         t0 = time.time()
-        final, (auxs, _plog, (map_w, map_mean)) = run_disparity_scan(
+        final, (auxs, _plog, (map_w, map_mean, _mc)) = run_disparity_scan(
             state, key, jnp.asarray(rb[:T]), jnp.asarray(valid[:T]),
             cfg, T, with_map_log=True)
         poses = np.asarray(auxs.expected_pose)          # sync
@@ -192,7 +192,7 @@ def oracle_phase():
                                 minval=-0.03, maxval=0.03)
     state = state.replace(pose=state.pose.at[:, 3].add(jitter[:, 0])
                           .at[:, 5].add(jitter[:, 1]))
-    final, (auxs, _plog, (map_w, _mm)) = run_disparity_scan(
+    final, (auxs, _plog, (map_w, _mm, _mc)) = run_disparity_scan(
         state, key, jnp.asarray(rb[:T]), jnp.asarray(valid[:T]), cfg, T,
         with_map_log=True)
     poses_tpu = np.asarray(auxs.expected_pose)

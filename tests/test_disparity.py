@@ -262,7 +262,8 @@ def test_disparity_cli_operational(tmp_path):
 @pytest.mark.slow
 def test_disparity_scan_mode(tmp_path):
     """Scan mode: one dispatch for the whole disparity run, same pose-log
-    and metrics set as loop mode (map line empty by design)."""
+    and metrics set as loop mode, map line carrying the MAP particle's
+    fitted world Gaussians (stride 13, like loop mode)."""
     import os
 
     from phdslam_tpu import runner
@@ -291,6 +292,12 @@ def test_disparity_scan_mode(tmp_path):
     lines = open(out / "state_estimate00004.log").read().splitlines()
     pose = np.fromstring(lines[0], sep=" ")
     assert pose.shape == (12,) and np.isfinite(pose).all()
+    # scan mode now logs the MAP particle's fitted map (stride 13: w + 3
+    # mean + 9 cov per feature), same contract as loop mode
+    map_line = np.fromstring(lines[1], sep=" ")
+    assert map_line.size % 13 == 0
+    if map_line.size:
+        assert np.isfinite(map_line).all()
     assert np.isfinite(res["poses"]).all()
 
 
@@ -312,7 +319,7 @@ def test_disparity_scan_map_log(disp_cfg):
         k = min(len(z), m)
         rb[t, :k] = z[:k]
         valid[t, :k] = True
-    final, (auxs, _plog, (map_w, map_mean)) = run_disparity_scan(
+    final, (auxs, _plog, (map_w, map_mean, map_cov)) = run_disparity_scan(
         DisparityState.create(cfg), jax.random.PRNGKey(0),
         jnp.asarray(rb), jnp.asarray(valid), cfg, T, with_map_log=True)
     assert map_w.shape == (T, cfg.maxFeatures)
