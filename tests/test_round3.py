@@ -131,12 +131,14 @@ def test_cphd_out_of_fov_mass_passes_through():
     from phdslam_tpu.filter import cphd as C
     from phdslam_tpu.filter.state import Gaussian2DMixture
 
+    # small maxCardinality keeps the ESF-scan compile cheap; the
+    # pass-through semantics under test are cardinality-size-independent
     cfg = load_config("cfg/ackerman_synth.cfg").replace(
-        n_particles=2, maxFeatures=64, maxMeasurements=8,
-        filterType=1, maxCardinality=63, clutterRate=2.0)
+        n_particles=2, maxFeatures=32, maxMeasurements=8,
+        filterType=1, maxCardinality=7, clutterRate=2.0)
     consts = C.make_constants(cfg)
-    P, F, M = 2, 64, 8
-    n_map, n_in = 30, 2              # 30 unit-weight features, 2 in FOV
+    P, F, M = 2, 32, 8
+    n_map, n_in = 14, 2              # 14 unit-weight features, 2 in FOV
     pose = jnp.zeros((P, 6))
     rng = np.random.default_rng(0)
     # 2 in-FOV features straight ahead, 28 far behind the sensor
