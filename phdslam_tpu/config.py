@@ -165,11 +165,17 @@ class SlamConfig:
                                 # dominant cost
     mergeMinWeight: float = 1e-3  # fast-mode prune threshold (>= the
                                   # reference's minFeatureWeight)
-    selectByIndex: bool = True  # Pallas selection emits (weight, index)
-                                # and the caller gathers payload channels
-                                # outside (2 VPU reductions per pick vs 8);
-                                # numerically identical picks — False keeps
-                                # the original in-kernel payload extraction
+    selectByIndex: bool = False  # Pallas selection emits (weight, index)
+                                 # and the caller gathers payload channels
+                                 # outside (2 VPU reductions per pick vs 8);
+                                 # numerically identical picks. Default OFF:
+                                 # the [P,M,k1] take_along_axis payload
+                                 # gathers lose to the in-kernel extraction
+                                 # at every measured shape (dense 8192x512
+                                 # fast step 258.9 vs 15.5 ms; 65k ackerman
+                                 # scan 8.5 s vs 0.106 s/step — the gather
+                                 # cost scales superlinearly in P and at 65k
+                                 # trips the worker watchdog)
     usePallas: bool = True      # allow the fused Pallas TPU kernels; set
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
