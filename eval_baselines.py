@@ -703,13 +703,14 @@ def main():
             "minFeatureWeight=1e-3 -> 24 ms, minSeparation=1 -> 98 ms). "
             "merge_mode=1 removes sub-threshold candidates and with them "
             "most trips.",
-            *(["- Selection modes: the default (select_by_index=1) emits "
-               "(weight, index) per pick and gathers the payload channels "
-               "outside the kernel (2 VPU reductions per pick); 'payload "
-               "sel' rows time the in-kernel payload extraction "
-               "(select_by_index=0, 8 reductions per pick). Identical "
-               "picks — see PARITY.md."]
-              if any("payload sel" in k for k in sp) else []),
+            *(["- Selection modes: the default (select_by_index=0) keeps "
+               "the in-kernel payload extraction; 'index sel' rows time "
+               "the alternative that emits (weight, index) per pick and "
+               "gathers the payload channels outside the kernel — "
+               "measured to lose at every shape (the [P,M,k1] gathers "
+               "scale superlinearly in P; see PARITY.md). Identical "
+               "picks."]
+              if any("index sel" in k for k in sp) else []),
             ""]
 
     with open("RESULTS.md", "w") as f:

@@ -79,8 +79,8 @@ def main():
 
         upd_j = jax.jit(U.phd_update_static, static_argnames=("cfg",))
         timeit(f"{tag}: phd_update_static (pallas)", upd_j, *prob, cfg)
-        timeit(f"{tag}: phd_update_static (pallas, payload sel)", upd_j,
-               *prob, cfg.replace(selectByIndex=False))
+        timeit(f"{tag}: phd_update_static (pallas, index sel)", upd_j,
+               *prob, cfg.replace(selectByIndex=True))
         cfgx = cfg.replace(usePallas=False)
         timeit(f"{tag}: phd_update_static (xla)", upd_j, *prob, cfgx)
 
@@ -92,13 +92,13 @@ def main():
                                    z, jnp.float32(0.5),
                                    jnp.asarray(True), c)
         timeit(f"{tag}: slam_step static (pallas)", step, cfg)
-        timeit(f"{tag}: slam_step static (pallas, payload sel)", step,
-               cfg.replace(selectByIndex=False))
+        timeit(f"{tag}: slam_step static (pallas, index sel)", step,
+               cfg.replace(selectByIndex=True))
         timeit(f"{tag}: slam_step static (xla)", step, cfgx)
         timeit(f"{tag}: slam_step static (pallas, fast merge)", step,
                cfg.replace(mergeMode=1))
-        timeit(f"{tag}: slam_step static (pallas, fast merge, payload sel)",
-               step, cfg.replace(mergeMode=1, selectByIndex=False))
+        timeit(f"{tag}: slam_step static (pallas, fast merge, index sel)",
+               step, cfg.replace(mergeMode=1, selectByIndex=True))
 
         if tag == "typical" or not QUICK:
             cfgc = cfg.replace(filterType=1, maxCardinality=63,

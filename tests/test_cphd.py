@@ -115,6 +115,7 @@ def test_add_births_gating(cphd_cfg):
     np.testing.assert_allclose(cb[:2], expect, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_cphd_e2e_tracking(cphd_cfg):
     """CPHD end-to-end: tracks the vehicle and maintains a sane cardinality
     estimate on a low-noise scenario."""

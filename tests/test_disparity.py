@@ -144,6 +144,7 @@ def test_disparity_e2e_smoke(disp_cfg):
     assert (duv.min(1) < 25.0).all(), duv
 
 
+@pytest.mark.slow
 def test_disparity_tracking_stationary_camera(rng):
     """End-to-end SC-PHD: a stationary camera observing fixed landmarks
     must keep its pose estimate at the origin (verified: <1e-3 m drift over
@@ -189,6 +190,7 @@ def test_disparity_tracking_stationary_camera(rng):
     assert np.linalg.norm(pose[:3]) < 0.05, pose
 
 
+@pytest.mark.slow
 def test_disparity_cli_operational(tmp_path):
     """The full operational surface: shipped-style cfg + generated dataset
     -> CLI run -> pose logs + metrics + finite pose error vs truth

@@ -120,6 +120,7 @@ def test_merge_mode_cfg_keys():
 # CPHD cardinality fix: full-map inner products (round-3 VERDICT item 3)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_cphd_out_of_fov_mass_passes_through():
     """Regression for the round-3 'intensity mass erodes to the in-FOV
     count' bug: the CPHD update runs on the in-range submap only and
