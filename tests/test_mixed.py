@@ -164,3 +164,67 @@ def test_mixed_e2e_moving_target(mixed_cfg):
     m4 = np.asarray(state.map_dynamic.mean[p, best])
     mover_final = mover0 + mover_v * (T - 1)
     assert np.linalg.norm(m4[:2] - mover_final) < 3.0, (m4, mover_final)
+
+
+@pytest.mark.slow
+def test_mover_velocity_estimate(mixed_cfg):
+    """Controlled acquisition check: stationary vehicle, one CV mover
+    crossing the FOV (plus occasional clutter), UNLABELED measurements.
+    The dynamic map must lock on within ~8 detections and the tracked
+    feature's velocity estimate must align with the true motion — the
+    statistic the mixed evidence run scores (scripts/mixed_evidence.py),
+    pinned here at unit scale."""
+    import jax
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import run_scan
+
+    cfg = mixed_cfg.replace(
+        n_particles=64, maxFeatures=32, maxMeasurements=8,
+        birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
+        stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0,
+        clutterRate=1.0, x0=0.0, y0=0.0, yaw0=0.0)
+    rng = np.random.default_rng(3)
+    T = 40
+    mover0 = np.array([6.0, -4.0])
+    mv = np.array([0.0, 0.25])
+    M = cfg.maxMeasurements
+    rb = np.zeros((T, M, 2), np.float32)
+    valid = np.zeros((T, M), bool)
+    truth = np.zeros((T, 2))
+    for t in range(T):
+        pos = mover0 + mv * t * cfg.dt
+        truth[t] = pos
+        r = np.linalg.norm(pos)
+        b = np.arctan2(pos[1], pos[0])
+        zs = [[r + rng.normal(0, cfg.stdRange),
+               b + rng.normal(0, cfg.stdBearing)]]
+        if rng.uniform() < 0.5:
+            zs.append([rng.uniform(1, cfg.maxRange), rng.uniform(-1.2, 1.2)])
+        for i, z in enumerate(zs):
+            rb[t, i] = z
+            valid[t, i] = True
+    state = SlamState.create(cfg)
+    zs = Measurements(rb=jnp.asarray(rb),
+                      label=jnp.zeros((T, M), jnp.int32),
+                      valid=jnp.asarray(valid))
+    ctrl = jnp.zeros((T, 2), jnp.float32)
+    dts = jnp.full((T,), cfg.dt, jnp.float32)
+    _, (_, la) = run_scan(state, jax.random.PRNGKey(0), ctrl, zs, dts,
+                          cfg, T, with_log_state=True)
+    dyn_w = np.asarray(la.dyn_w)
+    dyn_m = np.asarray(la.dyn_mean)
+    dists, coss = [], []
+    for t in range(8, T):
+        w = dyn_w[t]
+        m4 = dyn_m[t].T
+        sel = w > 0.05
+        assert sel.any(), f"no dynamic feature above 0.05 at t={t}"
+        dd = np.linalg.norm(m4[sel][:, :2] - truth[t], axis=1)
+        j = int(np.argmin(dd))
+        v = m4[sel][j, 2:]
+        nv = np.linalg.norm(v) * np.linalg.norm(mv)
+        dists.append(dd[j])
+        if nv > 0:
+            coss.append(float(v @ mv / nv))
+    assert np.median(dists) < 1.5, np.median(dists)
+    assert np.median(coss) > 0.7, np.median(coss)
