@@ -73,6 +73,8 @@ def main():
     pose_err = np.zeros((n_runs, T))
     mover_dist = []
     vel_cos = []
+    settled_dist = []      # >= 4th consecutive in-FOV step: the filter has
+    settled_cos = []       # had birth + a few detections to accumulate
     dyn_mass = np.zeros(n_runs)
     ms_per_step = []
     for run in range(n_runs):
@@ -107,6 +109,8 @@ def main():
         dyn_m_all = np.asarray(la.dyn_mean)           # [T, 4, Fd]
         burn = max(10, T // 5)
         scored_before = len(mover_dist)
+        # consecutive in-FOV step count per mover (resets when it leaves)
+        streak = np.zeros(MOVER0.shape[0], int)
         for t in range(burn, T):
             w4 = dyn_w_all[t]
             m4 = dyn_m_all[t].T                       # [Fd, 4] = x,y,vx,vy
@@ -125,17 +129,26 @@ def main():
                 b = np.arctan2(np.sin(b), np.cos(b))
                 if not (cfg.minRange <= r <= cfg.maxRange
                         and abs(b) <= cfg.maxBearing):
+                    streak[k] = 0
                     continue
+                streak[k] += 1
                 if not sel.any():
                     mover_dist.append(np.inf)
+                    if streak[k] >= 4:
+                        settled_dist.append(np.inf)
                     continue
                 dd = np.linalg.norm(m4[sel][:, :2] - pos, axis=1)
                 j = int(np.argmin(dd))
                 mover_dist.append(float(dd[j]))
                 v_est = m4[sel][j, 2:]
                 nv = np.linalg.norm(v_est) * np.linalg.norm(MOVER_V[k])
-                if nv > 0:
-                    vel_cos.append(float(v_est @ MOVER_V[k] / nv))
+                cos = float(v_est @ MOVER_V[k] / nv) if nv > 0 else None
+                if cos is not None:
+                    vel_cos.append(cos)
+                if streak[k] >= 4:
+                    settled_dist.append(float(dd[j]))
+                    if cos is not None:
+                        settled_cos.append(cos)
         print(f"run {run}: pose mean {pose_err[run].mean():.3f} m, "
               f"dyn mass {dyn_mass[run]:.2f}, "
               f"step-movers scored {len(mover_dist) - scored_before}",
@@ -190,6 +203,15 @@ def main():
         if md.size else None,
         vel_cos_mean=round(float(np.mean(vel_cos)), 3)
         if vel_cos else None,
+        settled_scored=int(len(settled_dist)),
+        settled_dist_mean=round(float(np.mean(
+            [d for d in settled_dist if np.isfinite(d)])), 3)
+        if any(np.isfinite(d) for d in settled_dist) else None,
+        settled_dist_under_2m=round(float(np.mean(
+            [d < 2.0 for d in settled_dist])), 3)
+        if settled_dist else None,
+        settled_cos_mean=round(float(np.mean(settled_cos)), 3)
+        if settled_cos else None,
         dyn_mass_mean=round(float(dyn_mass.mean()), 2),
         cpu_n_particles=cfg_cpu.n_particles, cpu_steps=Tc,
         cpu_ms_per_step=round(cpu_ms, 1),

@@ -469,3 +469,27 @@ def test_merge_pallas_odd_cap_block_fallback(rng):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=1e-5, atol=1e-6,
                                        err_msg=f"cap={cap} {name}")
+
+
+def test_esf_all_pallas_matches_xla(rng):
+    """ESF kernel parity (interpret mode): full + per-measurement-deleted
+    log-ESFs match filter/cphd.py::esf_log/esf_deleted exactly on finite
+    entries; empty coefficients come back as the -1e30 sentinel (-inf in
+    the XLA forms) — identical after exp."""
+    from phdslam_tpu.filter.cphd import esf_deleted, esf_log
+    from phdslam_tpu.kernels.esf_pallas import esf_all_pallas
+
+    P, M = 40, 12
+    ll = rng.normal(-2, 1.5, (P, M)).astype(np.float32)
+    ll[:, 9:] = -np.inf          # padded measurement slots
+    llj = jnp.asarray(ll)
+    esf_x = np.asarray(esf_log(llj))
+    esfd_x = np.asarray(esf_deleted(llj))
+    esf_p, esfd_p = esf_all_pallas(llj, tile_p=16, interpret=True)
+    esf_p, esfd_p = np.asarray(esf_p), np.asarray(esfd_p)
+    fin = np.isfinite(esf_x)
+    assert np.abs(esf_p[fin] - esf_x[fin]).max() < 1e-5
+    assert (esf_p[~fin] < -1e29).all()
+    find = np.isfinite(esfd_x)
+    assert np.abs(esfd_p[find] - esfd_x[find]).max() < 1e-5
+    assert (esfd_p[~find] < -1e29).all()
