@@ -453,9 +453,20 @@ def main():
                          cfg5, t65)
     _ = np.asarray(st5.log_weights)
     ms65 = (time.time() - t0) * 1000 / t65
+    # fast-merge leg (merge_mode=1, the config-4 headline mode; accuracy
+    # evidence = exact-vs-fast MC envelopes in RESULTS.md)
+    cfg5f = cfg5.replace(mergeMode=1)
+    st5f, _ = run_scan(SlamState.create(cfg5f), k5, ctrls5, zs5, dts5,
+                       cfg5f, t65)               # compile + warm
+    _ = np.asarray(st5f.log_weights)
+    t0 = time.time()
+    st5f, _ = run_scan(SlamState.create(cfg5f), k5, ctrls5, zs5, dts5,
+                       cfg5f, t65)
+    _ = np.asarray(st5f.log_weights)
+    ms65f = (time.time() - t0) * 1000 / t65
     results["single_chip_65k"] = dict(
         n_particles=p65, max_features=cfg5.maxFeatures, scan_steps=t65,
-        ms_per_step=ms65,
+        ms_per_step=ms65, ms_per_step_fast_merge=ms65f,
         neff=float(np.asarray(aux5.neff[-1])))
 
     # (b) HLO collective inventory on the 8-virtual-device CPU mesh
@@ -531,7 +542,8 @@ def main():
         "per-chip local resample + butterfly ppermute exchange; validated "
         "on the same virtual mesh (tests/test_island.py).",
         f"- Single-chip 65k-particle whole-run scan ({t65} steps, one "
-        f"dispatch — loopTime.log semantics): {ms65:.1f} ms/step at "
+        f"dispatch — loopTime.log semantics): {ms65:.1f} ms/step "
+        f"(exact merge; {ms65f:.1f} ms/step with merge_mode=1) at "
         f"65536 particles x {cfg5.maxFeatures} features — the full "
         "multi-chip state fits on a single chip with room to spare; "
         "per-chip load at 65k/8 = 8192 particles is the config-4 "

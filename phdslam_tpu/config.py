@@ -180,6 +180,14 @@ class SlamConfig:
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
                                 # the process default backend
+    dynamicMeasurementCount: bool = True  # pass the per-step valid-
+                                # measurement count to the fused kernels as
+                                # a traced SMEM scalar (bounds their inner
+                                # loop; the config-4 dense win). Not
+                                # vmappable — a batched SMEM scalar fails
+                                # Pallas TPU lowering — so the vmapped MC
+                                # path (eval/batch.py) turns it off and the
+                                # kernels loop over the static M instead.
     cnPoissonPredict: bool = True  # CPHD predicted-cardinality prior:
                                 # True (default) rebuilds it as Poisson of
                                 # the full-map intensity mass each step —
@@ -255,6 +263,7 @@ _KEY_MAP = {
     "n_samples": "nSamples",
     "max_cardinality": "maxCardinality",
     "cn_poisson_predict": "cnPoissonPredict",
+    "dynamic_measurement_count": "dynamicMeasurementCount",
     "filter_type": "filterType",
     "map_estimate": "mapEstimate",
     "cphd_disttype": "cphdDistType",

@@ -30,7 +30,10 @@ across the whole batch each step, and its per-trip VPU reductions are
 bandwidth-bound, so widening the batch scales trip cost ~linearly. The
 vmapped axis wins only when per-run work underutilizes the chip (small
 particle counts); see results/round3_evidence.json["vmap"] for the
-crossover probe. The sequential path is also the parity anchor
+crossover probe. With merge_mode=1 (bounded trip counts, removing reason
+(b)) the gap narrows to 0.85x (vmapped 25.9 s vs sequential 22.1 s, same
+shape) — reason (a) alone still favors the sequential path. The
+sequential path is also the parity anchor
 (tests/test_round3.py::test_vmapped_batch_matches_sequential).
 """
 
@@ -261,6 +264,9 @@ def run_batch(cfg: SlamConfig, scenario, n_runs: int,
     # ---- vmapped path: runs stacked on a leading batch axis ----
     if vmap_chunk <= 0:
         vmap_chunk = max(1, 65536 // max(cfg.n_particles, 1))
+    # the dynamic measurement count rides an SMEM scalar into the fused
+    # kernels, which Pallas cannot batch — static-M loops under vmap
+    cfg = cfg.replace(dynamicMeasurementCount=False)
     base_state = SlamState.create(cfg)
     dts = jnp.full((t_len,), cfg.dt, jnp.float32)
 

@@ -484,7 +484,8 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         # unnormalized top-k1 detection candidates in one VMEM pass — the
         # [P,M,F] cross-product is never materialized (psi_terms only
         # needs its per-measurement logsumexp)
-        nv = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0))
+        nv = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0)) \
+            if cfg.dynamicMeasurementCount else None
         if cfg.selectByIndex:
             from phdslam_tpu.filter.update import gather_selected
             from phdslam_tpu.kernels.preupdate_pallas import (

@@ -254,7 +254,8 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     use_pallas = (cfg.usePallas
                   and jax.default_backend() in ("tpu", "axon"))
     if use_pallas:
-        nv = jnp.max(jnp.where(z_valid, jnp.arange(M) + 1, 0))
+        nv = jnp.max(jnp.where(z_valid, jnp.arange(M) + 1, 0)) \
+            if cfg.dynamicMeasurementCount else None
         if cfg.selectByIndex:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select_by_index)

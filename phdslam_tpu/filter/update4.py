@@ -336,7 +336,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
         # fused raw-mode kernel: detection masses + unnormalized top-k1
         # candidates without materializing [P, M, F2]
         k1s = min(4 if cfg.mergeMode == 1 else 8, F2)
-        nv2 = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0))
+        nv2 = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0)) \
+            if cfg.dynamicMeasurementCount else None
         if cfg.selectByIndex:
             from phdslam_tpu.filter.update import gather_selected
             from phdslam_tpu.kernels.preupdate_pallas import (

@@ -176,6 +176,11 @@ def phase_variants():
         ("PHD", cfg),
         ("CPHD", cfg.replace(filterType=1, maxCardinality=127)),
         ("PHD w1", cfg.replace(particleWeighting=1)),
+        # true carried-cardinality CPHD: the convolution predict
+        # (cardinalityPredictKernel) instead of the per-step Poisson
+        # rebuild — isolates what cardinality propagation buys
+        ("CPHD conv", cfg.replace(filterType=1, maxCardinality=127,
+                                  cnPoissonPredict=False)),
     ]
     aggs, labels, out = [], [], {}
     for label, c in runs:

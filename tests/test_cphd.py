@@ -279,3 +279,44 @@ def test_esf_all_matches_scan_oracle(rng):
             fin_e, e_ref - e_new, 0.0)))) < 1e-3
         assert float(jnp.max(jnp.abs(jnp.where(
             fin_d, d_ref - d_new, 0.0)))) < 1e-3
+
+
+@pytest.mark.slow
+def test_cphd_conv_predict_e2e():
+    """Carried-cardinality CPHD (cnPoissonPredict=False — the reference's
+    cardinalityPredictKernel convolution instead of the per-step Poisson
+    rebuild): the whole-run scan stays finite and tracks the vehicle."""
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import run_scan
+    from phdslam_tpu.simdata import generate_run, make_scenario
+
+    T = 20
+    sc = make_scenario(np.random.default_rng(7), n_landmarks=20, n_steps=T)
+    cfg = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=16, maxFeatures=32, maxMeasurements=16,
+        filterType=1, maxCardinality=63, cnPoissonPredict=False,
+        x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
+        yaw0=float(sc.traj[0, 2]))
+    rng = np.random.default_rng(1)
+    controls, meas = generate_run(rng, sc, control_noise=(0.2, 0.01))
+    M = cfg.maxMeasurements
+    rb = np.zeros((T, M, 2), np.float32)
+    valid = np.zeros((T, M), bool)
+    for t in range(T):
+        z = meas[t][:M]
+        rb[t, :len(z)] = z
+        valid[t, :len(z)] = True
+    state = SlamState.create(cfg)
+    zs = Measurements(rb=jnp.asarray(rb),
+                      label=jnp.zeros((T, M), jnp.int32),
+                      valid=jnp.asarray(valid))
+    ctrl = jnp.asarray(np.concatenate(
+        [np.zeros((1, 2), np.float32), controls[:T - 1]]))
+    dts = jnp.full((T,), cfg.dt, jnp.float32)
+    final, auxs = run_scan(state, jax.random.PRNGKey(0), ctrl, zs, dts,
+                           cfg, T)
+    assert np.isfinite(np.asarray(final.log_weights)).all()
+    assert np.isfinite(np.asarray(final.cardinality)).all()
+    err = np.linalg.norm(
+        np.asarray(auxs.expected_pose)[-1, :2] - sc.traj[T - 1, :2])
+    assert err < 1.5, err
