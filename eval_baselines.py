@@ -582,6 +582,17 @@ def main():
             "compiled scan, no per-step host round trips).",
             *([f"- small-particle crossover probe: {v['small_p_probe']}"]
               if v.get("small_p_probe") else []),
+            *([f"- With merge_mode=1 (bounded trips) the gap narrows to "
+               f"{v['fast_merge_probe']['speedup']}x (vmapped "
+               f"{v['fast_merge_probe']['wall_s_vmapped']} s vs "
+               f"sequential "
+               f"{v['fast_merge_probe']['wall_s_sequential']} s, same "
+               "shape) — the cond->select resampling cost alone still "
+               "favors sequential. The vmapped path disables the fused "
+               "kernels' dynamic measurement count (an SMEM scalar "
+               "Pallas cannot batch; cfg.dynamicMeasurementCount, off "
+               "automatically in run_batch(vmapped=True))."]
+              if v.get("fast_merge_probe") else []),
             ""]
     if "merge_modes" in ev:
         mm = ev["merge_modes"]
@@ -619,6 +630,17 @@ def main():
             f"late-half OSPA {va['PHD_w1']['ospa_late_mean']:.2f} +- "
             f"{va['PHD_w1']['ospa_late_std']:.2f}, pose "
             f"{va['PHD_w1']['pose_late_mean']:.2f} m",
+            *([f"- CPHD conv (carried cardinality via the convolution "
+               "predict, cn_poisson_predict=0): late-half OSPA "
+               f"{va['CPHD_conv']['ospa_late_mean']:.2f} +- "
+               f"{va['CPHD_conv']['ospa_late_std']:.2f}, pose "
+               f"{va['CPHD_conv']['pose_late_mean']:.2f} m — WORSE than "
+               "the per-step Poisson rebuild, validating the default "
+               "(and the reference's own live flow, which computes the "
+               "convolution and then discards it, .bak:2473-2497): the "
+               "carried prior's extra weight-update variance outweighs "
+               "any cardinality-propagation benefit in this regime"]
+              if va.get("CPHD_conv") else []),
             "- Cardinality semantics: |card err| compares the MAP "
             "particle's intensity mass (the total-map estimate, both "
             "filter types) against the CUMULATIVE visited-landmark "
@@ -684,13 +706,26 @@ def main():
             "(results/mixed_envelopes.png): pose error mean "
             f"{mx['pose_mean']} m (late-half {mx['pose_late_mean']} m), "
             f"{mx['ms_per_step']} ms/step",
-            f"- mover acquisition, scored at every post-burn-in step "
-            f"with a mover in the true FOV: nearest dynamic-map feature "
-            f"{mx['mover_dist_mean']} m from truth (fraction under 2 m: "
-            f"{mx['mover_dist_under_2m']}), velocity-direction cosine "
-            f"{mx['vel_cos_mean']}, final dynamic mass "
-            f"{mx['dyn_mass_mean']} over {mx['movers_scored']} scored "
-            "(step, mover) pairs",
+            f"- mover localization over ALL {mx['movers_scored']} "
+            "post-burn-in (step, mover) pairs with the mover in the "
+            f"true FOV: nearest dynamic-map feature "
+            f"{mx['mover_dist_mean']} m mean, fraction under 2 m "
+            f"{mx['mover_dist_under_2m']}; final dynamic mass "
+            f"{mx['dyn_mass_mean']}",
+            *([f"- SETTLED pairs (>=4 consecutive in-FOV steps — the "
+               "filter needs ~4 detections at birth_weight=1e-2 to "
+               f"confirm; {mx['settled_scored']} pairs): "
+               f"{mx['settled_dist_mean']} m mean, fraction under 2 m "
+               f"{mx['settled_dist_under_2m']}"]
+              if mx.get("settled_scored") else []),
+            f"- velocity-direction cosine {mx['vel_cos_mean']} in this "
+            "scenario: the vehicle loop turns continuously, so no "
+            "constant-velocity mover stays in the FOV longer than ~6 "
+            "steps (measured over the trajectory) — too short for the "
+            "velocity estimate to converge. Velocity correctness is "
+            "pinned at unit scale instead: a controlled 40-step dwell "
+            "locks on within 8 steps at 0.33 m / cosine 1.00 "
+            "(tests/test_mixed.py::test_mover_velocity_estimate)",
             f"- CPU-oracle cross-check (reference_cpu.update_mixed, "
             f"{mx['cpu_n_particles']} particles, run 0's stream, "
             f"{mx['cpu_steps']} steps): CPU pose "
@@ -723,6 +758,14 @@ def main():
                "scale superlinearly in P; see PARITY.md). Identical "
                "picks."]
               if any("index sel" in k for k in sp) else []),
+            *(["- CPHD Psi machinery: psi_terms is 5.6 ms of the P=1024 "
+               "step and is transcendental-compute-bound, not HBM-bound "
+               "— XLA fuses the deleted-ESF scan into the downstream "
+               "logsumexp reductions. A VMEM-resident Pallas ESF kernel "
+               "(kernels/esf_pallas.py, exact parity) measures 6.3 ms "
+               "in the same consumer, so the XLA forms stay; no "
+               "kernel-level Psi headroom remains at this shape."]
+              if any("CPHD" in k for k in sp) else []),
             ""]
 
     with open("RESULTS.md", "w") as f:
