@@ -39,7 +39,7 @@ def make_stress_inputs(cfg, n_steps, seed=0):
     return rb, valid, controls
 
 
-def bench_tpu(cfg, n_steps=12, warmup=3):
+def bench_tpu(cfg, n_steps=19, warmup=3):
     import jax
     import jax.numpy as jnp
 
@@ -67,14 +67,21 @@ def bench_tpu(cfg, n_steps=12, warmup=3):
         state, aux = one(state, sk, t)
     _ = np.asarray(state.log_weights)
 
-    t0 = time.perf_counter()
-    for t in range(warmup, n_steps):
-        key, sk = jax.random.split(key)
-        state, aux = one(state, sk, t)
-    _ = np.asarray(state.log_weights)
-    ms = (time.perf_counter() - t0) / (n_steps - warmup) * 1000.0
+    # median of 3 timed repeats: the tunnel's queueing state drifts on
+    # a seconds scale and single-window draws vary +-50% on identical
+    # code (measured 16.4 / 24.8 / 28.2 ms back-to-back); the median is
+    # the stable statistic
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for t in range(warmup, n_steps):
+            key, sk = jax.random.split(key)
+            state, aux = one(state, sk, t)
+        _ = np.asarray(state.log_weights)
+        reps.append((time.perf_counter() - t0) / (n_steps - warmup)
+                    * 1000.0)
     assert np.isfinite(float(aux.neff)), "NaN in benchmark run"
-    return ms
+    return float(np.median(reps))
 
 
 def bench_cpu_reference(cfg, n_particles=32, n_steps=4):

@@ -491,16 +491,17 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select_by_index)
             sum_exp, e_sel, f_sel, _compat = fused_update_select_by_index(
-                z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv)
+                z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv,
+                with_compat=False)
             (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
              _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
         else:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select)
             (sum_exp, e_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-             _lpw_sel, _compat) = fused_update_select(z_rb, pre, gm, cfg,
-                                                      k1=k1, raw=True,
-                                                      n_valid=nv)
+             _lpw_sel, _compat) = fused_update_select(
+                z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv,
+                with_compat=False, with_lpw=False)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == 0)
         else:

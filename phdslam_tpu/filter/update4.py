@@ -343,7 +343,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select_by_index)
             sum_exp2, e_sel2, f_sel2, _compat = fused_update_select_by_index(
-                z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2)
+                z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2,
+                with_compat=False)
             (mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
              _lpw) = gather_selected(pre2, gm2, z_rb, f_sel2)
         else:
@@ -351,7 +352,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
                 fused_update_select)
             (sum_exp2, e_sel2, mx_sel2, my_sel2, u00_sel2, u01_sel2,
              u11_sel2, _lpw, _compat) = fused_update_select(
-                z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2)
+                z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2,
+                with_compat=False, with_lpw=False)
         if cfg.labeledMeasurements:
             m_ok2 = z_valid & (z_label == STATIC_MEASUREMENT)
         else:

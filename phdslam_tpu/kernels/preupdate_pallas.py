@@ -39,7 +39,8 @@ def _kernel_by_index(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref,
                      si01_ref, si11_ref, lds_ref,
                      sum_ref, wsel_ref, idxsel_ref, compat_ref,
                      *, n_measure: int, k1: int, clutter_birth: float,
-                     min_weight: float, gate_threshold: float, raw: bool):
+                     min_weight: float, gate_threshold: float, raw: bool,
+                     with_compat: bool = True):
     """Selection-only variant: per pick it emits the winning weight AND the
     winning feature INDEX instead of extracting six payload channels with
     masked reductions. The payload (updated means, covariances, log pd*w)
@@ -72,9 +73,11 @@ def _kernel_by_index(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref,
         e = jnp.exp(base - 0.5 * dist)                     # [tp, F]
         s = jnp.sum(e, axis=1)                             # [tp]
         sum_ref[m, :] = s
-        in_rng = lpw > (0.5 * NEG_LARGE)
-        compat_ref[m, :] = jnp.max(
-            jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0), axis=1)
+        if with_compat:
+            in_rng = lpw > (0.5 * NEG_LARGE)
+            compat_ref[m, :] = jnp.max(
+                jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0),
+                axis=1)
         if raw:
             w_det = e
         else:
@@ -103,7 +106,8 @@ def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
             sum_ref, wsel_ref, mxsel_ref, mysel_ref, u00sel_ref,
             u01sel_ref, u11sel_ref, lpwsel_ref, compat_ref,
             *, n_measure: int, k1: int, clutter_birth: float,
-            min_weight: float, gate_threshold: float, raw: bool):
+            min_weight: float, gate_threshold: float, raw: bool,
+            with_compat: bool = True, with_lpw: bool = True):
     r = r_ref[:, :]
     b = b_ref[:, :]
     lpw = lpw_ref[:, :]
@@ -138,10 +142,14 @@ def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
         s = jnp.sum(e, axis=1)                             # [tp]
         sum_ref[m, :] = s
         # birth-gating compatibility: any in-range feature within the
-        # innovation gate (in-range <=> finite lpw here)
-        in_rng = lpw > (0.5 * NEG_LARGE)
-        compat_ref[m, :] = jnp.max(
-            jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0), axis=1)
+        # innovation gate (in-range <=> finite lpw here). Static-skipped
+        # when the caller does not gate births (the output stays the
+        # zero-fill) — one masked max-reduce per measurement saved.
+        if with_compat:
+            in_rng = lpw > (0.5 * NEG_LARGE)
+            compat_ref[m, :] = jnp.max(
+                jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0),
+                axis=1)
         if raw:
             # unnormalized detection terms: the caller applies its own
             # per-measurement normalizer (CPHD scale_detect, mixed joint
@@ -168,7 +176,10 @@ def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
             u00sel_ref[m, j, :] = pick(u00_ref[:, :])
             u01sel_ref[m, j, :] = pick(u01_ref[:, :])
             u11sel_ref[m, j, :] = pick(u11_ref[:, :])
-            lpwsel_ref[m, j, :] = pick(lpw)
+            if with_lpw:
+                # only particleWeighting == 2 consumes the picked
+                # log(pd*w); static-skipped otherwise
+                lpwsel_ref[m, j, :] = pick(lpw)
             wrem = jnp.where(onehot, 0.0, wrem)
         return 0
 
@@ -177,10 +188,12 @@ def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(3,),
-                   static_argnames=("k1", "tile_p", "interpret", "raw"))
+                   static_argnames=("k1", "tile_p", "interpret", "raw",
+                                    "with_compat", "with_lpw"))
 def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
                         tile_p: int = 128, interpret: bool = False,
-                        raw: bool = False, n_valid=None):
+                        raw: bool = False, n_valid=None,
+                        with_compat: bool = None, with_lpw: bool = None):
     """Run the fused kernel. pre: filter.update.PreUpdate channels; gm:
     Gaussian2DMixture. Returns (sum_exp [P,M], w_sel, mx_sel, my_sel,
     u00_sel, u01_sel, u11_sel, lpw_sel — each [P,M,k1]).
@@ -196,6 +209,14 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
     callers mask with z_valid exactly as in the XLA path either way.
     """
     from phdslam_tpu.ops.linalg import safe_log
+
+    # dead-output elision (XLA cannot DCE inside the opaque kernel): the
+    # compat reduction only feeds birth gating, the lpw pick only feeds
+    # particleWeighting == 2 — skip their VPU passes when unused
+    if with_compat is None:
+        with_compat = bool(cfg.gateBirths)
+    if with_lpw is None:
+        with_lpw = cfg.particleWeighting == 2
 
     P0, F = pre.r.shape
     M = z_rb.shape[0]
@@ -227,7 +248,8 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
             _kernel, n_measure=M, k1=k1,
             clutter_birth=float(cfg.clutterDensity + cfg.birthWeight),
             min_weight=float(cfg.minFeatureWeight),
-            gate_threshold=float(cfg.gateThreshold), raw=raw),
+            gate_threshold=float(cfg.gateThreshold), raw=raw,
+            with_compat=with_compat, with_lpw=with_lpw),
         grid=(P // tile_p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [chan] * 16,
@@ -252,11 +274,13 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
 
 
 @functools.partial(jax.jit, static_argnums=(3,),
-                   static_argnames=("k1", "tile_p", "interpret", "raw"))
+                   static_argnames=("k1", "tile_p", "interpret", "raw",
+                                    "with_compat"))
 def fused_update_select_by_index(z_rb, pre, gm, cfg, k1: int = 8,
                                  tile_p: int = 128,
                                  interpret: bool = False,
-                                 raw: bool = False, n_valid=None):
+                                 raw: bool = False, n_valid=None,
+                                 with_compat: bool = None):
     """Selection-only fused kernel: returns (sum_exp [P,M], w_sel [P,M,k1],
     idx_sel [P,M,k1] int32, compat [P,M]).
 
@@ -266,6 +290,10 @@ def fused_update_select_by_index(z_rb, pre, gm, cfg, k1: int = 8,
     Entries with w_sel == 0 carry idx 0 (callers must mask on the weight).
     """
     from phdslam_tpu.ops.linalg import safe_log
+
+    # dead-output elision: see fused_update_select
+    if with_compat is None:
+        with_compat = bool(cfg.gateBirths)
 
     P0, F = pre.r.shape
     M = z_rb.shape[0]
@@ -294,7 +322,8 @@ def fused_update_select_by_index(z_rb, pre, gm, cfg, k1: int = 8,
             _kernel_by_index, n_measure=M, k1=k1,
             clutter_birth=float(cfg.clutterDensity + cfg.birthWeight),
             min_weight=float(cfg.minFeatureWeight),
-            gate_threshold=float(cfg.gateThreshold), raw=raw),
+            gate_threshold=float(cfg.gateThreshold), raw=raw,
+            with_compat=with_compat),
         grid=(P // tile_p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [chan] * 7,

@@ -493,3 +493,25 @@ def test_esf_all_pallas_matches_xla(rng):
     find = np.isfinite(esfd_x)
     assert np.abs(esfd_p[find] - esfd_x[find]).max() < 1e-5
     assert (esfd_p[~find] < -1e29).all()
+
+
+def test_select_dead_output_elision(tiny_cfg, rng):
+    """with_compat/with_lpw=False skip the unused reductions: every live
+    output is bit-identical, the skipped ones return their zero-fill."""
+    from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+
+    from phdslam_tpu.filter.update import kalman_preupdate
+
+    cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
+    pre = kalman_preupdate(pose, gm, cfg)
+    full = fused_update_select(z_rb, pre, gm, cfg, k1=4,
+                               interpret=True,
+                               with_compat=True, with_lpw=True)
+    skim = fused_update_select(z_rb, pre, gm, cfg, k1=4,
+                               interpret=True,
+                               with_compat=False, with_lpw=False)
+    for i in range(7):      # sum_exp + 6 payload channels (w..u11)
+        np.testing.assert_array_equal(np.asarray(full[i]),
+                                      np.asarray(skim[i]))
+    assert not np.asarray(skim[8]).any()        # compat zero-filled
+    assert not np.asarray(skim[7]).any()        # lpw_sel zero-filled
