@@ -122,11 +122,15 @@ def test_select_by_index_matches_payload_kernel(tiny_cfg, rng, raw):
     cfg, gm, pose, z_rb, z_valid = _problem(tiny_cfg, rng)
     pre = kalman_preupdate(pose, gm, cfg)
     k1 = 4
+    # request the full outputs explicitly: lpw/compat are zero-filled by
+    # the dead-output elision when the config doesn't consume them
     (sum_a, w_a, mx_a, my_a, u00_a, u01_a, u11_a, lpw_a,
      compat_a) = fused_update_select(z_rb, pre, gm, cfg, k1=k1, raw=raw,
-                                     interpret=True)
+                                     interpret=True,
+                                     with_compat=True, with_lpw=True)
     sum_b, w_b, idx, compat_b = fused_update_select_by_index(
-        z_rb, pre, gm, cfg, k1=k1, raw=raw, interpret=True)
+        z_rb, pre, gm, cfg, k1=k1, raw=raw, interpret=True,
+        with_compat=True)
     (mx_b, my_b, u00_b, u01_b, u11_b, lpw_b) = gather_selected(
         pre, gm, z_rb, idx)
 
