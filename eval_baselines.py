@@ -630,6 +630,13 @@ def main():
             f"late-half OSPA {va['PHD_w1']['ospa_late_mean']:.2f} +- "
             f"{va['PHD_w1']['ospa_late_std']:.2f}, pose "
             f"{va['PHD_w1']['pose_late_mean']:.2f} m",
+            *([f"- PHD weighting 2 (Vo single-feature): late-half OSPA "
+               f"{va['PHD_w2']['ospa_late_mean']:.2f} +- "
+               f"{va['PHD_w2']['ospa_late_std']:.2f}, pose "
+               f"{va['PHD_w2']['pose_late_mean']:.2f} m (the reference's "
+               "host implementation of this scheme has indexing bugs and "
+               "appears unused — PARITY.md; this is the intended formula)"]
+              if va.get("PHD_w2") else []),
             *([f"- CPHD conv (carried cardinality via the convolution "
                "predict, cn_poisson_predict=0): late-half OSPA "
                f"{va['CPHD_conv']['ospa_late_mean']:.2f} +- "

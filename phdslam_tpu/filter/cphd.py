@@ -494,7 +494,8 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
                 z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv,
                 with_compat=False)
             (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-             _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
+             _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel,
+                                         with_lpw=False)
         else:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select)
@@ -551,7 +552,8 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
         w_sel, f_sel = jax.lax.top_k(w_det_p, k1)               # [P,M,k1]
         (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-         _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
+         _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel,
+                                     with_lpw=False)
 
     flat = lambda a: a.reshape(P, M * k1)
     cat = lambda a, b: jnp.concatenate([a, b], axis=-1)

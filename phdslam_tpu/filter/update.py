@@ -189,7 +189,8 @@ def detection_log_weights(pre: PreUpdate, gm: Gaussian2DMixture, z_rb,
     return jnp.where(ok, lw, neg_inf)
 
 
-def gather_selected(pre: PreUpdate, gm: Gaussian2DMixture, z_rb, f_sel):
+def gather_selected(pre: PreUpdate, gm: Gaussian2DMixture, z_rb, f_sel,
+                    with_lpw: bool = True):
     """Reconstruct the merge-candidate payload channels from picked feature
     indices f_sel [P, M, k1].
 
@@ -210,7 +211,10 @@ def gather_selected(pre: PreUpdate, gm: Gaussian2DMixture, z_rb, f_sel):
         + take_sel(pre.g01) * ib_sel
     my_sel = take_sel(gm.my) + take_sel(pre.g10) * ir_sel \
         + take_sel(pre.g11) * ib_sel
-    lpw_sel = safe_log(take_sel(pre.pd)) + safe_log(take_sel(gm.w))
+    # lpw only feeds particleWeighting == 2; skip its gather + logs
+    # otherwise (mirrors the kernel's with_lpw dead-output elision)
+    lpw_sel = (safe_log(take_sel(pre.pd)) + safe_log(take_sel(gm.w))
+               if with_lpw else None)
     return (mx_sel, my_sel, take_sel(pre.u00), take_sel(pre.u01),
             take_sel(pre.u11), lpw_sel)
 
@@ -263,7 +267,9 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
                 fused_update_select_by_index(z_rb, pre, gm, cfg, k1=k1,
                                              n_valid=nv)
             (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-             lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
+             lpw_sel) = gather_selected(
+                pre, gm, z_rb, f_sel,
+                with_lpw=cfg.particleWeighting == 2)
         else:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select)
@@ -359,7 +365,8 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
         w_det_p = jnp.where(w_detect >= minw, w_detect, 0.0)
         w_sel, f_sel = jax.lax.top_k(w_det_p, k1)             # [P,M,k1]
         (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-         lpw_sel) = gather_selected(pre, gm, z_rb, f_sel)
+         lpw_sel) = gather_selected(pre, gm, z_rb, f_sel,
+                                    with_lpw=cfg.particleWeighting == 2)
     else:
         # pallas path already pruned at minw inside the kernel
         pass

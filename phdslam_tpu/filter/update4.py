@@ -346,7 +346,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
                 z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2,
                 with_compat=False)
             (mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
-             _lpw) = gather_selected(pre2, gm2, z_rb, f_sel2)
+             _lpw) = gather_selected(pre2, gm2, z_rb, f_sel2,
+                                     with_lpw=False)
         else:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select)
@@ -476,7 +477,7 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
     (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
-     _lpw) = gather_selected(pre2, gm2, z_rb, f_sel)
+     _lpw) = gather_selected(pre2, gm2, z_rb, f_sel, with_lpw=False)
     sel = (w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel)
     return _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb,
                                   pose, cfg)

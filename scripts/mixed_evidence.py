@@ -111,6 +111,20 @@ def main():
         scored_before = len(mover_dist)
         # consecutive in-FOV step count per mover (resets when it leaves)
         streak = np.zeros(MOVER0.shape[0], int)
+        # seed streaks over the pre-burn window so a dwell spanning the
+        # burn boundary counts its full consecutive in-FOV length
+        for t in range(burn):
+            vpose = sc.traj[t]
+            for k in range(MOVER0.shape[0]):
+                d = truth[t, k] - vpose[:2]
+                r = np.linalg.norm(d)
+                b = np.arctan2(d[1], d[0]) - vpose[2]
+                b = np.arctan2(np.sin(b), np.cos(b))
+                if (cfg.minRange <= r <= cfg.maxRange
+                        and abs(b) <= cfg.maxBearing):
+                    streak[k] += 1
+                else:
+                    streak[k] = 0
         for t in range(burn, T):
             w4 = dyn_w_all[t]
             m4 = dyn_m_all[t].T                       # [Fd, 4] = x,y,vx,vy

@@ -113,6 +113,33 @@ def phase_vmap():
             sequential_s=round(tt["sequential"], 1),
             speedup=round(tt["sequential"] / tt["vmapped"], 2))
 
+    # fast-merge probe: does merge_mode=1 (bounded trip counts) flip the
+    # vmapped-vs-sequential verdict? (it removes reason (b) of the vmap
+    # loss — see eval/batch.py docstring)
+    cfg_f = cfg.replace(mergeMode=1)
+    times_f, results_f = {}, {}
+    for label, vmapped in (("vmapped", True), ("sequential", False)):
+        per_pass = []
+        for _ in range(2):
+            t0 = time.time()
+            res = run_batch(cfg_f, sc, n_runs=n_runs,
+                            control_noise=(0.2, 0.01),
+                            vmapped=vmapped, collect_maps_every=4)
+            per_pass.append(time.time() - t0)
+        times_f[label] = per_pass
+        results_f[label] = res
+    pe_vf = np.stack([r.pose_err for r in results_f["vmapped"]]).mean(0)
+    pe_sf = np.stack([r.pose_err for r in results_f["sequential"]]).mean(0)
+    fast_probe = dict(
+        n_runs=n_runs, merge_mode=1,
+        wall_s_vmapped=round(times_f["vmapped"][1], 1),
+        wall_s_sequential=round(times_f["sequential"][1], 1),
+        wall_s_cold=dict(vmapped=round(times_f["vmapped"][0], 1),
+                         sequential=round(times_f["sequential"][0], 1)),
+        speedup=round(times_f["sequential"][1] / times_f["vmapped"][1], 2),
+        pose_envelope_max_abs_dev_m=round(
+            float(np.max(np.abs(pe_vf - pe_sf))), 4))
+
     _merge_json(dict(vmap=dict(
         n_runs=n_runs, steps=sc.traj.shape[0],
         wall_s_vmapped=round(times["vmapped"][1], 1),
@@ -121,7 +148,8 @@ def phase_vmap():
                          sequential=round(times["sequential"][0], 1)),
         speedup=round(times["sequential"][1] / times["vmapped"][1], 2),
         pose_envelope_max_abs_dev_m=round(max_dev, 4),
-        small_p_probe=probe)))
+        small_p_probe=probe,
+        fast_merge_probe=fast_probe)))
 
 
 def phase_merge():
@@ -176,6 +204,7 @@ def phase_variants():
         ("PHD", cfg),
         ("CPHD", cfg.replace(filterType=1, maxCardinality=127)),
         ("PHD w1", cfg.replace(particleWeighting=1)),
+        ("PHD w2", cfg.replace(particleWeighting=2)),
         # true carried-cardinality CPHD: the convolution predict
         # (cardinalityPredictKernel) instead of the per-step Poisson
         # rebuild — isolates what cardinality propagation buys
@@ -185,9 +214,7 @@ def phase_variants():
     aggs, labels, out = [], [], {}
     for label, c in runs:
         res = run_batch(c, sc, n_runs=n_runs, control_noise=(0.2, 0.01),
-                        collect_maps_every=4,
-                        vmap_chunk=max(1, 16384 // c.n_particles)
-                        if c.filterType == 1 else 0)
+                        collect_maps_every=4)
         agg = aggregate(res)
         aggs.append(agg)
         labels.append(label)
