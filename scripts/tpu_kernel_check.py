@@ -213,6 +213,28 @@ def main():
         finally:
             jax.default_backend = real
 
+    # ESF kernel (CPHD): full + deleted log-ESFs vs the XLA scan forms
+    from phdslam_tpu.filter.cphd import esf_deleted, esf_log
+    from phdslam_tpu.kernels.esf_pallas import esf_all_pallas
+
+    rng = np.random.default_rng(3)
+    ll = rng.normal(-3, 1, (256, 32)).astype(np.float32)
+    ll[:, 27:] = -np.inf
+    llj = jnp.asarray(ll)
+    esf_x = np.asarray(jax.jit(esf_log)(llj))
+    esfd_x = np.asarray(jax.jit(esf_deleted)(llj))
+    esf_p, esfd_p = esf_all_pallas(llj)
+    esf_p, esfd_p = np.asarray(esf_p), np.asarray(esfd_p)
+    fin, find = np.isfinite(esf_x), np.isfinite(esfd_x)
+    d_esf = float(np.abs(esf_p[fin] - esf_x[fin]).max())
+    d_esfd = float(np.abs(esfd_p[find] - esfd_x[find]).max())
+    sent = bool((esf_p[~fin] < -1e29).all() and (esfd_p[~find] < -1e29).all())
+    esf_ok = d_esf < 1e-4 and d_esfd < 1e-4 and sent
+    print(f"  esf kernel max|d| esf={d_esf:.2e} esfd={d_esfd:.2e} "
+          f"sentinels={'OK' if sent else 'BAD'} "
+          f"{'OK' if esf_ok else 'MISMATCH'}")
+    ok = ok and esf_ok
+
     print("PARITY", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
