@@ -610,6 +610,16 @@ def main():
             "mass renormalization before the greedy merge (documented "
             "deviation, exact stays the default; dense-step speed in "
             "config 4)",
+            *([f"- fast merge + select_top_k=2 (top-2 detection "
+               "candidates per measurement instead of 4): late-half OSPA "
+               f"{mm['fast_merge_k2']['ospa_late_mean']:.2f} +- "
+               f"{mm['fast_merge_k2']['ospa_late_std']:.2f} — "
+               + ("within one std of exact"
+                  if mm.get("k2_within_one_std") else "OUTSIDE one std")
+               + "; dense fast step 12.8 -> 9.2 ms/step (the pick loop "
+               "is ~40% of the select kernel). Off by default; enable "
+               "with select_top_k = 2."]
+              if mm.get("fast_merge_k2") else []),
             ""]
     if "variants" in ev:
         va = ev["variants"]

@@ -180,6 +180,13 @@ class SlamConfig:
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
                                 # the process default backend
+    selectTopK: int = 0         # detection candidates kept per
+                                # measurement by the fused selection
+                                # (the per-(p,m) top-k1). 0 = auto:
+                                # 8 exact / 4 in merge_mode=1. Lower is
+                                # faster (the pick loop is ~40% of the
+                                # dense select kernel); accuracy evidence
+                                # for 2 vs 4 in RESULTS.md
     dynamicMeasurementCount: bool = True  # pass the per-step valid-
                                 # measurement count to the fused kernels as
                                 # a traced SMEM scalar (bounds their inner
@@ -264,6 +271,7 @@ _KEY_MAP = {
     "max_cardinality": "maxCardinality",
     "cn_poisson_predict": "cnPoissonPredict",
     "dynamic_measurement_count": "dynamicMeasurementCount",
+    "select_top_k": "selectTopK",
     "filter_type": "filterType",
     "map_estimate": "mapEstimate",
     "cphd_disttype": "cphdDistType",

@@ -453,7 +453,7 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     minw = cfg.minFeatureWeight
     # fast mode keeps the top-4 detection candidates per measurement, as
     # in the static path (filter/update.py k1 rationale)
-    k1 = min(4 if cfg.mergeMode == 1 else 8, F)
+    k1 = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F)
 
     if cfg.cnPoissonPredict:
         # Predicted-cardinality prior: Poisson pmf of the IN-RANGE

@@ -251,7 +251,7 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     # select kernel, and sub-top-4 candidates are overwhelmingly below the
     # fast prune threshold anyway (documented deviation; accuracy evidence
     # is the exact-vs-fast MC envelope in RESULTS.md)
-    k1 = min(4 if cfg.mergeMode == 1 else 8, F)
+    k1 = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F)
 
     pre = kalman_preupdate(pose, gm, cfg)
 

@@ -335,7 +335,7 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     if use_pallas:
         # fused raw-mode kernel: detection masses + unnormalized top-k1
         # candidates without materializing [P, M, F2]
-        k1s = min(4 if cfg.mergeMode == 1 else 8, F2)
+        k1s = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F2)
         nv2 = jnp.max(jnp.where(z_valid, jnp.arange(z_rb.shape[0]) + 1, 0)) \
             if cfg.dynamicMeasurementCount else None
         if cfg.selectByIndex:
@@ -367,7 +367,7 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
 
     pre4 = kalman_preupdate4(pose, gm4, cfg)
     if use_pallas:
-        k1d = min(4 if cfg.mergeMode == 1 else 8, F4)
+        k1d = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F4)
         if cfg.selectByIndex:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select4_by_index)
@@ -473,7 +473,7 @@ def _pool_merge_static(gm2, pre2, w_nd, w_det, w_birth, z_rb, pose, cfg):
     minw = cfg.minFeatureWeight
     from phdslam_tpu.filter.update import gather_selected
 
-    k1 = min(4 if cfg.mergeMode == 1 else 8, F)
+    k1 = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F)
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
     (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
@@ -563,7 +563,7 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     w_sec1 = jnp.where(w_nd >= minw, w_nd, 0.0)
     w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
 
-    k1 = min(4 if cfg.mergeMode == 1 else 8, F)
+    k1 = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F)
     w_det_p = jnp.where(w_det >= minw, w_det, 0.0)
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
     mean_det, cov_det = gather_selected4(pre4, gm4, z_rb, f_sel)

@@ -163,8 +163,14 @@ def phase_merge():
 
     aggs, labels = [], []
     out = {}
-    for mode, label in ((0, "exact merge"), (1, "fast merge")):
-        res = run_batch(cfg.replace(mergeMode=mode), sc, n_runs=n_runs,
+    # third arm: fast mode with the narrower top-2 selection (select_top_k
+    # = 2; the pick loop is ~40% of the dense select kernel — 12.8 ->
+    # 9.2 ms/step measured at the config-4 shape)
+    arms = ((dict(mergeMode=0), "exact merge"),
+            (dict(mergeMode=1), "fast merge"),
+            (dict(mergeMode=1, selectTopK=2), "fast merge k2"))
+    for repl, label in arms:
+        res = run_batch(cfg.replace(**repl), sc, n_runs=n_runs,
                         control_noise=(0.2, 0.01), collect_maps_every=4)
         agg = aggregate(res)
         aggs.append(agg)
@@ -180,6 +186,10 @@ def phase_merge():
     d = abs(out["fast_merge"]["ospa_late_mean"]
             - out["exact_merge"]["ospa_late_mean"])
     out["within_one_std"] = bool(d <= out["exact_merge"]["ospa_late_std"])
+    d2 = abs(out["fast_merge_k2"]["ospa_late_mean"]
+             - out["exact_merge"]["ospa_late_mean"])
+    out["k2_within_one_std"] = bool(
+        d2 <= out["exact_merge"]["ospa_late_std"])
     out["n_runs"] = n_runs
     _merge_json(dict(merge_modes=out))
 
