@@ -39,7 +39,8 @@ def make_stress_inputs(cfg, n_steps, seed=0):
     return rb, valid, controls
 
 
-def bench_tpu(cfg, n_steps=19, warmup=3):
+def _make_runner(cfg, n_steps, warmup):
+    """Warmed-up closure: run one timed window, return ms/step."""
     import jax
     import jax.numpy as jnp
 
@@ -62,26 +63,42 @@ def bench_tpu(cfg, n_steps=19, warmup=3):
     # through the experimental TPU tunnel jax.block_until_ready returns
     # before the computation finishes (verified: a 2.75-TFLOP graph
     # "completed" in 0.1 ms), so a fetch is the only honest barrier.
+    box = {"state": state, "key": key}
     for t in range(warmup):
-        key, sk = jax.random.split(key)
-        state, aux = one(state, sk, t)
-    _ = np.asarray(state.log_weights)
+        box["key"], sk = jax.random.split(box["key"])
+        box["state"], aux = one(box["state"], sk, t)
+    _ = np.asarray(box["state"].log_weights)
 
-    # median of 3 timed repeats: the tunnel's queueing state drifts on
-    # a seconds scale and single-window draws vary +-50% on identical
-    # code (measured 16.4 / 24.8 / 28.2 ms back-to-back); the median is
-    # the stable statistic
-    reps = []
-    for _ in range(3):
+    def window():
         t0 = time.perf_counter()
         for t in range(warmup, n_steps):
-            key, sk = jax.random.split(key)
-            state, aux = one(state, sk, t)
-        _ = np.asarray(state.log_weights)
-        reps.append((time.perf_counter() - t0) / (n_steps - warmup)
-                    * 1000.0)
-    assert np.isfinite(float(aux.neff)), "NaN in benchmark run"
-    return float(np.median(reps))
+            box["key"], sk = jax.random.split(box["key"])
+            box["state"], aux = one(box["state"], sk, t)
+        _ = np.asarray(box["state"].log_weights)
+        assert np.isfinite(float(aux.neff)), "NaN in benchmark run"
+        return (time.perf_counter() - t0) / (n_steps - warmup) * 1000.0
+
+    return window
+
+
+def bench_tpu_many(cfgs, n_steps=19, warmup=3):
+    """ms/step per config, medians over 3 INTERLEAVED timed windows.
+
+    The tunnel's queueing state drifts on a seconds-to-minutes scale and
+    single-window draws vary +-50% on identical code (measured
+    16.4 / 24.8 / 28.2 ms back-to-back); interleaving the configs'
+    windows samples all of them across the same tunnel states, so the
+    relative comparison is fair even when absolute numbers drift."""
+    runners = [_make_runner(cfg, n_steps, warmup) for cfg in cfgs]
+    reps = [[] for _ in cfgs]
+    for _w in range(3):
+        for i, window in enumerate(runners):
+            reps[i].append(window())
+    return [float(np.median(r)) for r in reps]
+
+
+def bench_tpu(cfg, n_steps=19, warmup=3):
+    return bench_tpu_many([cfg], n_steps, warmup)[0]
 
 
 def bench_cpu_reference(cfg, n_particles=32, n_steps=4):
@@ -126,8 +143,14 @@ def main():
     # headline: fast merge mode (merge_mode=1 — prune+renormalize before
     # the greedy merge; accuracy evidence = exact-vs-fast MC envelopes in
     # RESULTS.md). Exact reference-semantics greedy reported alongside.
-    ms_fast = bench_tpu(stress.replace(mergeMode=1))
-    ms_exact = bench_tpu(stress)
+    # interleaved windows -> fair relative comparison (see bench_tpu_many).
+    # ms_fast_k2 = the narrower top-2 selection (select_top_k=2; accuracy
+    # within one MC std of exact — RESULTS.md merge-modes section);
+    # reported alongside, the headline stays the default fast mode.
+    ms_fast, ms_fast_k2, ms_exact = bench_tpu_many([
+        stress.replace(mergeMode=1),
+        stress.replace(mergeMode=1, selectTopK=2),
+        stress])
     cpu_ms, cpu_p = bench_cpu_reference(stress)
     cpu_ms_extrap = cpu_ms * (stress.n_particles / cpu_p)
     speedup = cpu_ms_extrap / ms_fast
@@ -143,6 +166,7 @@ def main():
         "vs_baseline": round(speedup, 2),
         "particle_updates_per_sec": round(updates_per_sec),
         "ms_exact_merge": round(ms_exact, 3),
+        "ms_fast_k2": round(ms_fast_k2, 3),
         "cpu_reference_ms_extrapolated": round(cpu_ms_extrap, 1),
     }))
 

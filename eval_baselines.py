@@ -743,6 +743,15 @@ def main():
             "pinned at unit scale instead: a controlled 40-step dwell "
             "locks on within 8 steps at 0.33 m / cosine 1.00 "
             "(tests/test_mixed.py::test_mover_velocity_estimate)",
+            *([f"- paused-dwell leg (vehicle holds 30 steps while one "
+               "mover crosses the FOV — a 33-step uninterrupted dwell, "
+               "the in-scenario velocity test the wandering loop can't "
+               f"provide): over {mx['paused_dwell']['n_runs']} re-noised "
+               "runs, post-lock-on nearest-dynamic-feature distance "
+               f"{mx['paused_dwell']['dist_mean']} m (fraction under 2 m "
+               f"{mx['paused_dwell']['dist_under_2m']}), velocity-"
+               f"direction cosine {mx['paused_dwell']['cos_mean']}"]
+              if mx.get("paused_dwell") else []),
             f"- CPU-oracle cross-check (reference_cpu.update_mixed, "
             f"{mx['cpu_n_particles']} particles, run 0's stream, "
             f"{mx['cpu_steps']} steps): CPU pose "

@@ -54,9 +54,16 @@ def ackerman_step_np(state, u, dt, l, h, a, b):
 
 def make_scenario(rng: np.random.Generator, n_landmarks: int = 80,
                   n_steps: int = 330, dt: float = 1.0,
-                  map_extent: float = 20.0, **sensor_kw) -> Scenario:
+                  map_extent: float = 20.0, pause=None,
+                  **sensor_kw) -> Scenario:
     """Random landmarks in a square + a wandering Ackerman trajectory
-    (the SynthSetup2.m recipe: 80 landmarks in [-20,20]^2)."""
+    (the SynthSetup2.m recipe: 80 landmarks in [-20,20]^2).
+
+    pause: optional (t0, length) — the vehicle stops (v = 0) for `length`
+    steps starting at t0, like a surveyed hold in a hand-driven course.
+    Used by the mixed-model evidence to give a crossing mover a long
+    uninterrupted FOV dwell (the wandering loop otherwise turns fast
+    enough that no constant-velocity mover stays visible >6 steps)."""
     landmarks = rng.uniform(-map_extent, map_extent, (n_landmarks, 2))
     sc = Scenario(landmarks=landmarks,
                   traj=np.zeros((n_steps + 1, 3)),
@@ -72,7 +79,10 @@ def make_scenario(rng: np.random.Generator, n_landmarks: int = 80,
         # matlab/generateAckermanTrajectory.m
         v = float(np.clip(v + rng.normal(0.0, 0.1), 1.0, 2.0))
         alpha = 0.24 + 0.05 * np.sin(t / 20.0) + rng.normal(0.0, 0.01)
-        u = np.array([v, alpha])
+        if pause is not None and pause[0] <= t < pause[0] + pause[1]:
+            u = np.array([0.0, 0.0])
+        else:
+            u = np.array([v, alpha])
         state = ackerman_step_np(state, u, dt, sc.l, sc.h, sc.a, sc.b)
         controls.append(u)
         traj.append(state)

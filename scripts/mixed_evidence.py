@@ -168,6 +168,70 @@ def main():
               f"step-movers scored {len(mover_dist) - scored_before}",
               flush=True)
 
+    # ---- paused-dwell leg: in-scenario velocity evidence ----
+    # The wandering loop turns fast enough that no constant-velocity
+    # mover stays in the FOV longer than ~6 steps, so the main envelope
+    # cannot exercise velocity estimation. Here the vehicle HOLDS for 30
+    # steps (make_scenario pause) while one mover crosses its FOV — a
+    # 33-step uninterrupted dwell — and we score distance + velocity
+    # cosine over the post-lock-on window (like the reference's
+    # hand-driven hold-and-observe courses).
+    Tp = 12 if SMOKE else 120
+    n_pause_runs = 1 if SMOKE else 5
+    sc_p = make_scenario(np.random.default_rng(11), n_landmarks=40,
+                         n_steps=Tp, pause=(60, 30))
+    pm0 = np.array([[-5.51416556, -3.72010326]])
+    pmv = np.array([[-0.15390214, 0.2575153]])
+    p_dist, p_cos = [], []
+    for run in range(n_pause_runs):
+        rng = np.random.default_rng(900 + run)
+        controls, meas, truth = generate_mixed_run(
+            rng, sc_p, pm0, pmv, control_noise=(0.2, 0.01))
+        M = cfg.maxMeasurements
+        rb = np.zeros((Tp, M, 2), np.float32)
+        valid = np.zeros((Tp, M), bool)
+        for t in range(Tp):
+            z = meas[t][:M]
+            rb[t, :len(z)] = z
+            valid[t, :len(z)] = True
+        state = SlamState.create(cfg)
+        zs = Measurements(rb=jnp.asarray(rb),
+                          label=jnp.zeros((Tp, M), jnp.int32),
+                          valid=jnp.asarray(valid))
+        ctrl = jnp.asarray(np.concatenate(
+            [np.zeros((1, 2), np.float32), controls[:Tp - 1]]))
+        dts = jnp.full((Tp,), cfg.dt, jnp.float32)
+        _, (_, la) = run_scan(state, jax.random.PRNGKey(50 + run), ctrl,
+                              zs, dts, cfg, Tp, with_log_state=True)
+        dyn_w_all = np.asarray(la.dyn_w)
+        dyn_m_all = np.asarray(la.dyn_mean)
+        lo, hi = (8, Tp) if SMOKE else (68, 93)   # post-lock-on dwell
+        for t in range(lo, min(hi, Tp)):
+            w4 = dyn_w_all[t]
+            m4 = dyn_m_all[t].T
+            sel = w4 >= max(0.05, 0.25 * float(w4.max()))
+            if not sel.any():
+                p_dist.append(np.inf)
+                continue
+            pos = truth[t, 0]
+            dd = np.linalg.norm(m4[sel][:, :2] - pos, axis=1)
+            j = int(np.argmin(dd))
+            p_dist.append(float(dd[j]))
+            v_est = m4[sel][j, 2:]
+            nv = np.linalg.norm(v_est) * np.linalg.norm(pmv[0])
+            if nv > 0:
+                p_cos.append(float(v_est @ pmv[0] / nv))
+    pd_arr = np.asarray(p_dist)
+    paused = dict(
+        n_runs=n_pause_runs, dwell_steps=int(pd_arr.size // max(
+            n_pause_runs, 1)),
+        dist_mean=round(float(pd_arr[np.isfinite(pd_arr)].mean()), 3)
+        if np.isfinite(pd_arr).any() else None,
+        dist_under_2m=round(float((pd_arr < 2.0).mean()), 3)
+        if pd_arr.size else None,
+        cos_mean=round(float(np.mean(p_cos)), 3) if p_cos else None)
+    print("paused-dwell leg:", json.dumps(paused), flush=True)
+
     # ---- CPU-oracle leg on run 0's stream ----
     from phdslam_tpu import reference_cpu as R
     rng = np.random.default_rng(500)
@@ -226,6 +290,7 @@ def main():
         if settled_dist else None,
         settled_cos_mean=round(float(np.mean(settled_cos)), 3)
         if settled_cos else None,
+        paused_dwell=paused,
         dyn_mass_mean=round(float(dyn_mass.mean()), 2),
         cpu_n_particles=cfg_cpu.n_particles, cpu_steps=Tc,
         cpu_ms_per_step=round(cpu_ms, 1),

@@ -111,6 +111,8 @@ def main():
         timeit(f"{tag}: slam_step static (xla)", step, cfgx)
         timeit(f"{tag}: slam_step static (pallas, fast merge)", step,
                cfg.replace(mergeMode=1))
+        timeit(f"{tag}: slam_step static (pallas, fast merge, k2)", step,
+               cfg.replace(mergeMode=1, selectTopK=2))
         timeit(f"{tag}: slam_step static (pallas, fast merge, index sel)",
                step, cfg.replace(mergeMode=1, selectByIndex=True))
 
