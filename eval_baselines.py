@@ -305,7 +305,10 @@ def main():
     from phdslam_tpu.eval.plots import plot_error_curves
     from phdslam_tpu.simdata import make_scenario
 
-    n_mc = 8 if QUICK else 50
+    # 100 Monte-Carlo runs — the reference harness's own count
+    # (python/batch_run.py:13); one run is a single compiled scan, so the
+    # full sweep stays ~2 minutes on-chip
+    n_mc = 8 if QUICK else 100
     t_mc = 60 if QUICK else 330
     sc = make_scenario(np.random.default_rng(42), n_landmarks=80,
                        n_steps=t_mc)

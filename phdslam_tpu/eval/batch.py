@@ -20,9 +20,10 @@ run keeps the same PRNG key it gets on the sequential path
 memory is bounded by chunking the run axis (``vmap_chunk``).
 
 MEASURED (round 3, v5e chip, 50 runs x 331 steps x 256 particles, warm):
-sequential 33.3 s, vmapped 107.8 s — the sequential whole-run-scan path
-is ~3x FASTER at the headline shape and is therefore the default. Two
-structural reasons: (a) under a batched predicate, ``lax.cond`` lowers to
+the sequential whole-run-scan path wins at the headline shape in EVERY
+measurement — vmapped/sequential speedup 0.3-0.7x across repeated runs
+(tunnel-state spread) — and is therefore the default. Two structural
+reasons: (a) under a batched predicate, ``lax.cond`` lowers to
 ``select``, so the resampling branch's full-map gather executes on EVERY
 step for ALL runs instead of only on nEff-triggered steps; (b) the greedy
 merge's data-dependent ``while_loop`` runs to the WORST-CASE trip count
@@ -31,8 +32,8 @@ bandwidth-bound, so widening the batch scales trip cost ~linearly. The
 vmapped axis wins only when per-run work underutilizes the chip (small
 particle counts); see results/round3_evidence.json["vmap"] for the
 crossover probe. With merge_mode=1 (bounded trip counts, removing reason
-(b)) the gap narrows to 0.85x (vmapped 25.9 s vs sequential 22.1 s, same
-shape) — reason (a) alone still favors the sequential path. The
+(b)) the verdict is unchanged (speedup 0.7-0.85x across repeated runs) —
+reason (a) alone still favors the sequential path. The
 sequential path is also the parity anchor
 (tests/test_round3.py::test_vmapped_batch_matches_sequential).
 """
