@@ -153,3 +153,66 @@ def test_html_player_build(tmp_path, tiny_cfg):
     assert len(d["frames"]) == 3
     assert len(d["frames"][0]["map"]) == 2
     assert d["frames"][0]["card"] == 1.5   # intensity mass (PHD log)
+
+
+def test_matplotlib_logplayer(tmp_path, tiny_cfg):
+    """LogPlayer (the plot_phdslam.py GUI counterpart) steps frames and
+    handles key events headlessly on Agg."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from phdslam_tpu.eval.player import LogPlayer, _load_records
+    from phdslam_tpu.io import logs
+
+    for t in range(3):
+        logs.write_state_estimate_log(
+            str(tmp_path), t, np.array([float(t), 1.0, 0.1, 0, 0, 0]),
+            np.array([1.0, 0.5]), np.array([[1.0, 2.0], [3.0, 4.0]]),
+            np.tile(np.eye(2) * 0.1, (2, 1, 1)),
+            particle_log_weights=np.full(4, -np.log(4)),
+            particle_poses=np.zeros((4, 6)),
+            resample_idx=np.arange(4),
+            max_cardinality=tiny_cfg.maxCardinality)
+    player = LogPlayer(_load_records(str(tmp_path)),
+                       true_map=np.array([[1.0, 2.0]]))
+    assert player.n_steps == 3
+    assert np.allclose(player.card_est, 1.5)      # intensity mass
+    player.show_frame(2)
+    assert player.frame == 2
+    assert np.allclose(player.l_pose.get_xdata(), [2.0])
+    # both features above min_weight=0.33 -> two live ellipse artists
+    live = [ln for ln in player.l_ellipses if len(ln.get_xdata())]
+    assert len(live) == 2
+    # keyboard contract: left steps back, space toggles play
+    class _Evt:
+        def __init__(self, key):
+            self.key = key
+    player._on_key(_Evt("left"))
+    assert player.frame == 1
+    player._on_key(_Evt(" "))
+    assert player.playing
+    player._on_key(_Evt(" "))
+    assert not player.playing
+    player._on_key(_Evt("escape"))
+
+
+def test_disparity_projection_helper():
+    """_project_disparity_record maps 12-DOF camera records to top-down
+    (x, z) rows; 2-D records pass through untouched."""
+    from phdslam_tpu.eval.player import _project_disparity_record
+
+    cov = np.arange(9, dtype=float)  # column-major 3x3
+    rec = dict(pose=np.arange(12, dtype=float),
+               static=np.concatenate([[0.9, 10.0, 20.0, 30.0],
+                                      cov])[None, :],
+               poses=np.tile(np.arange(12, dtype=float), (4, 1)),
+               weights=np.zeros(4), cardinality=np.zeros(0))
+    out = _project_disparity_record(rec)
+    assert out["pose"].tolist() == [0.0, 2.0, 5.0]       # x, z, yaw-ish
+    assert out["poses"].shape == (4, 2)
+    # [w, x, z, Cxx, Cxz, Czz, Czz]: cov cols 4+0, 4+6, 4+8
+    assert out["static"][0].tolist() == [0.9, 10.0, 30.0, 0.0, 6.0,
+                                         8.0, 8.0]
+    rec2d = dict(pose=np.zeros(6), static=np.zeros((0, 7)),
+                 poses=np.zeros((2, 6)))
+    assert _project_disparity_record(rec2d)["pose"].size == 6
