@@ -558,6 +558,10 @@ def main(argv=None):
                          "island-model (locality-preserving) resampling "
                          "(parallel/island.py); works in loop AND scan "
                          "modes, with PHD and CPHD filters")
+    ap.add_argument("--player", action="store_true",
+                    help="after the run, bundle the out-dir's logs into a "
+                         "standalone interactive HTML player "
+                         "(out-dir/player.html; eval/player.py)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -575,10 +579,21 @@ def main(argv=None):
     cfg = load_config(args.config)
     if args.run_type == "disparity":
         from phdslam_tpu.filter.disparity import run_disparity
-        return run_disparity(cfg, args)
-    if args.profile == "profile":
-        return run_profile(cfg, args)
-    return run_synth(cfg, args)
+        res = run_disparity(cfg, args)
+    elif args.profile == "profile":
+        res = run_profile(cfg, args)
+    else:
+        res = run_synth(cfg, args)
+    if getattr(args, "player", False) and not args.no_logs:
+        from phdslam_tpu.eval.player import build_player
+        truth = args.truth if args.truth else (
+            args.data_dir if args.run_type == "disparity" else None)
+        try:
+            out = build_player(args.out_dir, truth_mat=truth)
+            print(f"player: {out}")
+        except FileNotFoundError as e:
+            print(f"player skipped: {e}")
+    return res
 
 
 if __name__ == "__main__":

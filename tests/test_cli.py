@@ -83,3 +83,14 @@ def test_cli_islands_cphd(tiny_run):
     recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
     assert len(recs) == 6
     assert all(np.isfinite(r["neff"]) for r in recs)
+
+
+def test_cli_player_flag(tiny_run):
+    """--player bundles the run's logs into out-dir/player.html."""
+    cfg, meas, ctrl, tmp = tiny_run
+    out = tmp / "outp"
+    _run([str(cfg), "synth", "--out-dir", str(out),
+          "--measurements", str(meas), "--controls", str(ctrl),
+          "--player"])
+    html = open(out / "player.html").read()
+    assert "const DATA" in html and '"frames"' in html
