@@ -81,20 +81,23 @@ def _make_runner(cfg, n_steps, warmup):
     return window
 
 
-def bench_tpu_many(cfgs, n_steps=19, warmup=3):
-    """ms/step per config, medians over 3 INTERLEAVED timed windows.
+def bench_tpu_many(cfgs, n_steps=19, warmup=3, n_windows=5):
+    """ms/step per config, min over 5 INTERLEAVED timed windows.
 
     The tunnel's queueing state drifts on a seconds-to-minutes scale and
     single-window draws vary +-50% on identical code (measured
     16.4 / 24.8 / 28.2 ms back-to-back); interleaving the configs'
     windows samples all of them across the same tunnel states, so the
-    relative comparison is fair even when absolute numbers drift."""
+    relative comparison is fair even when absolute numbers drift.
+    The aggregate is the per-config MINIMUM window (timeit's rationale:
+    queueing/tunnel delays are strictly additive noise, so the fastest
+    window is the least-polluted estimate of true device throughput)."""
     runners = [_make_runner(cfg, n_steps, warmup) for cfg in cfgs]
     reps = [[] for _ in cfgs]
-    for _w in range(3):
+    for _w in range(n_windows):
         for i, window in enumerate(runners):
             reps[i].append(window())
-    return [float(np.median(r)) for r in reps]
+    return [float(np.min(r)) for r in reps]
 
 
 def bench_tpu(cfg, n_steps=19, warmup=3):

@@ -39,8 +39,10 @@ def timeit(name, fn, *args, fetch=None):
 
     out = fn(*args)
     sync(out)
-    # median of 3 windows: the tunnel's queueing state drifts on a
-    # seconds scale (identical code measured +-50% back-to-back)
+    # min of 3 windows: the tunnel's queueing state drifts on a
+    # seconds scale (identical code measured +-50% back-to-back);
+    # queueing delay is strictly additive, so the fastest window is the
+    # least-polluted estimate (timeit's rationale)
     reps = []
     for _w in range(3):
         t0 = time.time()
@@ -48,8 +50,7 @@ def timeit(name, fn, *args, fetch=None):
             out = fn(*args)
         sync(out)
         reps.append((time.time() - t0) / REPS * 1000)
-    reps.sort()
-    ms = reps[1]
+    ms = min(reps)
     print(f"{name:44s} {ms:9.2f} ms", flush=True)
     RECORD[name] = round(ms, 2)
     return ms
