@@ -829,7 +829,12 @@ def main():
             "reduction roofline (builder attribution, round 2: "
             "minFeatureWeight=1e-3 -> 24 ms, minSeparation=1 -> 98 ms). "
             "merge_mode=1 removes sub-threshold candidates and with them "
-            "most trips.",
+            "most trips. At the TYPICAL shape the fast-merge row can read "
+            "slower than exact: trips are already few there, so the fast "
+            "mode's extra prune+renormalize pass costs more than the trips "
+            "it saves — exact (the default) is also the faster choice at "
+            "small shapes; fast mode pays off where trips dominate "
+            "(dense/65k rows).",
             *(["- Selection modes: the default (select_by_index=0) keeps "
                "the in-kernel payload extraction; 'index sel' rows time "
                "the alternative that emits (weight, index) per pick and "
