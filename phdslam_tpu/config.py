@@ -180,6 +180,18 @@ class SlamConfig:
                                 # False when running on a CPU mesh (virtual
                                 # multi-device tests) while a TPU plugin is
                                 # the process default backend
+    pallasForce: bool = False   # use the compiled Pallas kernels even when
+                                # the process default backend is not a TPU —
+                                # set by parallel.mesh.resolve_pallas when
+                                # jitting/AOT-lowering for a TPU mesh from a
+                                # host whose default backend is CPU (e.g.
+                                # jax.export cross-platform lowering)
+    pallasInterpret: bool = False  # force the Pallas kernel code path in
+                                # interpret mode (pure-XLA emulation) on any
+                                # backend — exercises the kernel path on the
+                                # virtual CPU mesh (multi-chip dryrun/tests)
+                                # where compiled Mosaic cannot run. Slow;
+                                # testing only.
     selectTopK: int = 0         # detection candidates kept per
                                 # measurement by the fused selection
                                 # (the per-(p,m) top-k1). 0 = auto:
@@ -215,6 +227,13 @@ class SlamConfig:
             object.__setattr__(
                 self, "clutterDensity",
                 self.clutterRate / (2.0 * self.maxBearing * self.maxRange))
+        # The fused selection kernels unroll selectTopK picks; a negative
+        # value would surface as an opaque trace-time shape error and >8
+        # silently inflates the pick loop + merge-candidate section.
+        if not (0 <= self.selectTopK <= 8):
+            raise ValueError(
+                f"select_top_k must be in [0, 8] (0 = auto), got "
+                f"{self.selectTopK}")
 
     def replace(self, **kw) -> "SlamConfig":
         if ("clutterRate" in kw or "maxBearing" in kw or "maxRange" in kw) \
@@ -301,6 +320,7 @@ _KEY_MAP = {
     "merge_mode": "mergeMode",
     "merge_min_weight": "mergeMinWeight",
     "use_pallas": "usePallas",
+    "pallas_interpret": "pallasInterpret",
     "select_by_index": "selectByIndex",
 }
 

@@ -477,8 +477,8 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
         cn_predict = cn_predict - jax.scipy.special.logsumexp(
             cn_predict, axis=-1, keepdims=True)
 
-    use_pallas = (cfg.usePallas
-                  and jax.default_backend() in ("tpu", "axon"))
+    from phdslam_tpu.utils import pallas_opts
+    use_pallas, interp = pallas_opts(cfg)
     if use_pallas:
         # fused kernel (raw mode): per-measurement detection masses +
         # unnormalized top-k1 detection candidates in one VMEM pass — the
@@ -492,7 +492,7 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
                 fused_update_select_by_index)
             sum_exp, e_sel, f_sel, _compat = fused_update_select_by_index(
                 z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv,
-                with_compat=False)
+                with_compat=False, interpret=interp)
             (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
              _lpw_sel) = gather_selected(pre, gm, z_rb, f_sel,
                                          with_lpw=False)
@@ -502,7 +502,7 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
             (sum_exp, e_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
              _lpw_sel, _compat) = fused_update_select(
                 z_rb, pre, gm, cfg, k1=k1, raw=True, n_valid=nv,
-                with_compat=False, with_lpw=False)
+                with_compat=False, with_lpw=False, interpret=interp)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == 0)
         else:
@@ -570,7 +570,8 @@ def cphd_update(pose, gm: Gaussian2DMixture, cn_predict, z_rb, z_label,
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
         cfg.minSeparation, F, metric=cfg.distanceMetric,
-        use_pallas=cfg.usePallas)
+        use_pallas=cfg.usePallas, interpret=cfg.pallasInterpret,
+        force=cfg.pallasForce)
     map_out = Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
                                 c11=m11)
 

@@ -129,10 +129,14 @@ class DispAux(NamedTuple):
     n_measure: jax.Array
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "pmesh"))
 def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
-                   do_predict, cfg: SlamConfig):
-    """One SC-PHD step. z_uv [M, 2] image measurements + validity mask."""
+                   do_predict, cfg: SlamConfig, pmesh=None):
+    """One SC-PHD step. z_uv [M, 2] image measurements + validity mask.
+
+    `pmesh` (optional single-axis particle Mesh): runs the 3-D greedy merge
+    — the step's one Pallas kernel — under shard_map so it lowers per-shard
+    on a multi-chip mesh (see filter.step._pshard); numerics identical."""
     P, F, Npp = state.px.shape
     M = z_uv.shape[0]
     dtype = state.w.dtype
@@ -290,11 +294,16 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
     if cfg.mergeMode == 1:
         from phdslam_tpu.ops.gm import fast_prune_renormalize
         cand_w = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
+    from phdslam_tpu.filter.step import _pshard
     (mw, mm0, mm1, mm2, mc00, mc01, mc02, mc11, mc12,
-     mc22) = greedy_merge_channels3(
-        cand_w, cand["m0"], cand["m1"], cand["m2"], cand["c00"],
-        cand["c01"], cand["c02"], cand["c11"], cand["c12"], cand["c22"],
-        cfg.minSeparation, F, use_pallas=cfg.usePallas)
+     mc22) = _pshard(
+        pmesh,
+        lambda *ch: greedy_merge_channels3(
+            *ch, cfg.minSeparation, F, use_pallas=cfg.usePallas,
+            interpret=cfg.pallasInterpret, force=cfg.pallasForce),
+        (cand_w, cand["m0"], cand["m1"], cand["m2"], cand["c00"],
+         cand["c01"], cand["c02"], cand["c11"], cand["c12"], cand["c22"]),
+        ())
 
     # ---- 8. sample merged Gaussians back to particle clouds -------------
     su, sv, sd = sample_gaussians(
@@ -340,10 +349,11 @@ def disparity_step(state: DisparityState, key, z_uv, z_valid, dt,
                           n_measure=n_measure)
 
 
-@partial(jax.jit, static_argnames=("cfg", "length", "with_map_log"))
+@partial(jax.jit,
+         static_argnames=("cfg", "length", "with_map_log", "pmesh"))
 def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
                        cfg: SlamConfig, length: int,
-                       with_map_log: bool = False):
+                       with_map_log: bool = False, pmesh=None):
     """Whole-dataset `lax.scan` over disparity_step (the SC-PHD analog of
     filter.step.run_scan): one dispatch for the full run — the honest
     per-step compute cost without the per-dispatch tunnel latency loop
@@ -365,7 +375,7 @@ def run_disparity_scan(state: DisparityState, key, zs_rb, zs_valid,
     def body(st, inp):
         k, rb, valid, t = inp
         st, aux = disparity_step(st, k, rb, valid, jnp.float32(cfg.dt),
-                                 t > 0, cfg)
+                                 t > 0, cfg, pmesh=pmesh)
         outs = (aux, (st.log_weights, st.pose, st.resample_idx))
         if with_map_log:
             idx = jnp.argmax(st.log_weights)

@@ -71,6 +71,34 @@ def _log_aux(state: SlamState) -> LogAux:
         resample_idx=state.resample_idx, cardinality=cn)
 
 
+def _pshard(pmesh, f, sharded, replicated):
+    """Run ``f(*sharded, *replicated)`` under `shard_map` over ``pmesh``'s
+    (single) particle axis: every `sharded` arg/output shards on its leading
+    axis, `replicated` args replicate.
+
+    The measurement updates are RNG-free and per-particle independent, so
+    this is bit-identical to the plain call — but manual partitioning lets
+    the Pallas kernel custom calls lower per-shard on a multi-chip mesh,
+    which GSPMD cannot do for a `pallas_call` (it would fail to propagate a
+    sharding through the opaque custom call). Prediction, weight
+    normalization, and the global resample stay outside in GSPMD-land where
+    XLA's collective insertion handles them (parallel/mesh.py docstring).
+    """
+    if pmesh is None:
+        return f(*sharded, *replicated)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = pmesh.axis_names[0]
+    in_specs = tuple(jax.tree.map(lambda _: P(axis), a) for a in sharded) \
+        + tuple(jax.tree.map(lambda _: P(), r) for r in replicated)
+    out_shape = jax.eval_shape(f, *sharded, *replicated)
+    out_specs = jax.tree.map(lambda _: P(axis), out_shape)
+    return shard_map(f, mesh=pmesh, in_specs=in_specs,
+                     out_specs=out_specs,
+                     check_vma=False)(*sharded, *replicated)
+
+
 def _gather_particles(state: SlamState, idx, new_log_w) -> SlamState:
     take = lambda x: jnp.take(x, idx, axis=0)
     new = jax.tree.map(take, state)
@@ -118,10 +146,10 @@ def predicted_state(state: SlamState, key, control, dt, do_predict,
     return _run_prediction(state, k_pred, control, dt, do_predict, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "with_variance"))
+@partial(jax.jit, static_argnames=("cfg", "with_variance", "pmesh"))
 def slam_step(state: SlamState, key, control, z: Measurements, dt,
               do_predict, cfg: SlamConfig, with_variance: bool = False,
-              z_prev: Measurements = None):
+              z_prev: Measurements = None, pmesh=None):
     """One SLAM time step.
 
     state       SlamState with P == cfg.n_particles
@@ -132,6 +160,10 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
     do_predict  traced bool: skip prediction on step 0 (src/main.cpp:1244)
     z_prev      previous step's measurements — CPHD births come from them
                 (addBirths(particles, ZPrev), src/phdfilter.cu.bak:68)
+    pmesh       optional jax.sharding.Mesh with one (particle) axis: the
+                measurement update runs under shard_map over it so the
+                Pallas kernels lower per-shard (see _pshard). Numerics are
+                identical to pmesh=None.
 
     Returns (state', StepAux).
     """
@@ -164,9 +196,12 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
 
     def do_update(st):
         if is_cphd:
-            map_out, cn_update, dw = C.cphd_update(
-                st.pose, st.map_static, st.cardinality, z.rb, z.label,
-                z.valid, cfg, consts)
+            map_out, cn_update, dw = _pshard(
+                pmesh,
+                lambda pose, ms, cn, zrb, zlab, zval, cc: C.cphd_update(
+                    pose, ms, cn, zrb, zlab, zval, cfg, cc),
+                (st.pose, st.map_static, st.cardinality),
+                (z.rb, z.label, z.valid, consts))
             lw = st.log_weights + dw
             log_lik = jax.scipy.special.logsumexp(lw)
             lw = lw - log_lik
@@ -174,16 +209,23 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
                               cardinality=cn_update), log_lik
         if cfg.featureModel in (1, 2):  # DYNAMIC / MIXED
             from phdslam_tpu.filter.update4 import phd_update_mixed
-            gm2_out, gm4_out, dw = phd_update_mixed(
-                st.pose, st.map_static, st.map_dynamic, z.rb, z.label,
-                z.valid, cfg)
+            gm2_out, gm4_out, dw = _pshard(
+                pmesh,
+                lambda pose, g2, g4, zrb, zlab, zval: phd_update_mixed(
+                    pose, g2, g4, zrb, zlab, zval, cfg),
+                (st.pose, st.map_static, st.map_dynamic),
+                (z.rb, z.label, z.valid))
             lw = st.log_weights + dw
             log_lik = jax.scipy.special.logsumexp(lw)
             lw = lw - log_lik
             return st.replace(map_static=gm2_out, map_dynamic=gm4_out,
                               log_weights=lw), log_lik
-        res = phd_update_static(
-            st.pose, st.map_static, z.rb, z.label, z.valid, cfg)
+        res = _pshard(
+            pmesh,
+            lambda pose, g, zrb, zlab, zval: phd_update_static(
+                pose, g, zrb, zlab, zval, cfg),
+            (st.pose, st.map_static),
+            (z.rb, z.label, z.valid))
         lw = st.log_weights + res.log_weight_delta
         # normalize (src/phdfilter.cu:3749-3755)
         log_lik = jax.scipy.special.logsumexp(lw)
@@ -252,9 +294,11 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
     return state, aux
 
 
-@partial(jax.jit, static_argnames=("cfg", "length", "with_log_state"))
+@partial(jax.jit,
+         static_argnames=("cfg", "length", "with_log_state", "pmesh"))
 def run_scan(state: SlamState, key, controls, zs: Measurements, dts,
-             cfg: SlamConfig, length: int, with_log_state: bool = False):
+             cfg: SlamConfig, length: int, with_log_state: bool = False,
+             pmesh=None):
     """Scan `slam_step` over a whole dataset on-device.
 
     controls [T,2]; zs: Measurements with leading [T]; dts [T].
@@ -274,7 +318,7 @@ def run_scan(state: SlamState, key, controls, zs: Measurements, dts,
     def body(st, inp):
         k, ctrl, z, zp, dt, t = inp
         st, aux = slam_step(st, k, (ctrl[0], ctrl[1]), z, dt, t > 0, cfg,
-                            z_prev=zp)
+                            z_prev=zp, pmesh=pmesh)
         if with_log_state:
             return st, (aux, _log_aux(st))
         return st, aux

@@ -44,6 +44,7 @@ from phdslam_tpu.filter.state import Gaussian2DMixture
 from phdslam_tpu.models.measurement import predict_measurement, range_class
 from phdslam_tpu.ops.gm import greedy_merge_channels
 from phdslam_tpu.ops.linalg import safe_log, wrap_angle
+from phdslam_tpu.utils import pallas_opts
 
 LOG_2PI = 1.8378770664093453
 
@@ -255,8 +256,7 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
 
     pre = kalman_preupdate(pose, gm, cfg)
 
-    use_pallas = (cfg.usePallas
-                  and jax.default_backend() in ("tpu", "axon"))
+    use_pallas, interp = pallas_opts(cfg)
     if use_pallas:
         nv = jnp.max(jnp.where(z_valid, jnp.arange(M) + 1, 0)) \
             if cfg.dynamicMeasurementCount else None
@@ -265,7 +265,7 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
                 fused_update_select_by_index)
             sum_exp, w_sel, f_sel, compatible = \
                 fused_update_select_by_index(z_rb, pre, gm, cfg, k1=k1,
-                                             n_valid=nv)
+                                             n_valid=nv, interpret=interp)
             (mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
              lpw_sel) = gather_selected(
                 pre, gm, z_rb, f_sel,
@@ -275,7 +275,8 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
                 fused_update_select)
             (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
              lpw_sel, compatible) = fused_update_select(z_rb, pre, gm, cfg,
-                                                        k1=k1, n_valid=nv)
+                                                        k1=k1, n_valid=nv,
+                                                        interpret=interp)
         # per-measurement validity/label gating (column masks)
         if cfg.labeledMeasurements:
             m_ok = z_valid & (z_label == STATIC_MEASUREMENT)
@@ -404,7 +405,7 @@ def phd_update_static(pose, gm: Gaussian2DMixture, z_rb, z_label, z_valid,
     mw, mmx, mmy, m00, m01, m11 = greedy_merge_channels(
         cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11,
         cfg.minSeparation, F, metric=cfg.distanceMetric,
-        use_pallas=cfg.usePallas)
+        use_pallas=cfg.usePallas, interpret=interp, force=cfg.pallasForce)
     map_out = Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
                                 c11=m11)
 

@@ -193,15 +193,17 @@ def birth4_channels(pose, z_rb, cfg):
 
 
 def greedy_merge4(w, mean, cov, min_separation, max_out: int,
-                  use_pallas: bool = True):
+                  use_pallas: bool = True, interpret: bool = False,
+                  force: bool = False):
     """Channelized 4-D greedy merge. w [P,K]; mean [P,4,K]; cov [P,10,K].
     Returns (w_out [P,max_out], mean_out [P,4,max_out],
              cov_out [P,10,max_out])."""
     P, K = w.shape
-    if use_pallas and jax.default_backend() in ("tpu", "axon"):
+    if use_pallas and (interpret or force
+                       or jax.default_backend() in ("tpu", "axon")):
         from phdslam_tpu.kernels.merge_pallas import greedy_merge4_pallas
         return greedy_merge4_pallas(w, mean, cov, float(min_separation),
-                                    max_out)
+                                    max_out, interpret=interpret)
     dtype = w.dtype
     col = jnp.arange(K)
 
@@ -330,8 +332,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     dtype = gm2.w.dtype
 
     pre2 = kalman_preupdate(pose, gm2, cfg)
-    use_pallas = (cfg.usePallas
-                  and jax.default_backend() in ("tpu", "axon"))
+    from phdslam_tpu.utils import pallas_opts
+    use_pallas, interp = pallas_opts(cfg)
     if use_pallas:
         # fused raw-mode kernel: detection masses + unnormalized top-k1
         # candidates without materializing [P, M, F2]
@@ -344,7 +346,7 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
                 fused_update_select_by_index)
             sum_exp2, e_sel2, f_sel2, _compat = fused_update_select_by_index(
                 z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2,
-                with_compat=False)
+                with_compat=False, interpret=interp)
             (mx_sel2, my_sel2, u00_sel2, u01_sel2, u11_sel2,
              _lpw) = gather_selected(pre2, gm2, z_rb, f_sel2,
                                      with_lpw=False)
@@ -354,7 +356,7 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
             (sum_exp2, e_sel2, mx_sel2, my_sel2, u00_sel2, u01_sel2,
              u11_sel2, _lpw, _compat) = fused_update_select(
                 z_rb, pre2, gm2, cfg, k1=k1s, raw=True, n_valid=nv2,
-                with_compat=False, with_lpw=False)
+                with_compat=False, with_lpw=False, interpret=interp)
         if cfg.labeledMeasurements:
             m_ok2 = z_valid & (z_label == STATIC_MEASUREMENT)
         else:
@@ -372,13 +374,13 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select4_by_index)
             sum_exp4, e_sel4, f_sel4 = fused_update_select4_by_index(
-                z_rb, pre4, gm4, k1=k1d)
+                z_rb, pre4, gm4, k1=k1d, interpret=interp)
             mean_sel4, cov_sel4 = gather_selected4(pre4, gm4, z_rb, f_sel4)
         else:
             from phdslam_tpu.kernels.preupdate_pallas import (
                 fused_update_select4)
             sum_exp4, e_sel4, mean_sel4, cov_sel4 = fused_update_select4(
-                z_rb, pre4, gm4, k1=k1d)
+                z_rb, pre4, gm4, k1=k1d, interpret=interp)
         if cfg.labeledMeasurements:
             m_ok4 = z_valid & (z_label == DYNAMIC_MEASUREMENT)
         else:
@@ -525,7 +527,8 @@ def _pool_merge_static_sel(gm2, pre2, w_nd, sel, w_birth, z_rb, pose, cfg):
         cat(gm2.c11, flat(u11_sel),
             st * st * var_rb + bdx * bdx * var_bb),
         cfg.minSeparation, F, metric=cfg.distanceMetric,
-        use_pallas=cfg.usePallas)
+        use_pallas=cfg.usePallas, interpret=cfg.pallasInterpret,
+        force=cfg.pallasForce)
     return Gaussian2DMixture(w=mw, mx=mmx, my=mmy, c00=m00, c01=m01,
                              c11=m11)
 
@@ -584,7 +587,9 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
         [gm4.cov_channels, flatc(cov_det), cov_b], axis=-1)
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
                                cfg.minSeparation, F,
-                               use_pallas=cfg.usePallas)
+                               use_pallas=cfg.usePallas,
+                               interpret=cfg.pallasInterpret,
+                               force=cfg.pallasForce)
     return Gaussian4DMixture(w=ow, mean_channels=om, cov_channels=oc)
 
 
@@ -616,5 +621,7 @@ def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg):
         [gm4.cov_channels, flatc(cov_sel), cov_b], axis=-1)
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
                                cfg.minSeparation, F,
-                               use_pallas=cfg.usePallas)
+                               use_pallas=cfg.usePallas,
+                               interpret=cfg.pallasInterpret,
+                               force=cfg.pallasForce)
     return Gaussian4DMixture(w=ow, mean_channels=om, cov_channels=oc)

@@ -151,7 +151,9 @@ def greedy_merge_batch(w, mean, cov, min_separation, max_out: int,
 
 def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
                           max_out: int, metric: int = 0,
-                          use_pallas: bool = True):
+                          use_pallas: bool = True,
+                          interpret: bool = False,
+                          force: bool = False):
     """Batched greedy merge in structure-of-arrays (channel-separated)
     layout.
 
@@ -174,12 +176,13 @@ def greedy_merge_channels(w, mx, my, c00, c01, c11, min_separation,
     """
     P, K = w.shape
     if (use_pallas and metric in (0, 1)
-            and jax.default_backend() in ("tpu", "axon")):
+            and (interpret or force
+                 or jax.default_backend() in ("tpu", "axon"))):
         # VMEM-resident kernel: one HBM pass instead of one per pick round
         from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
         return greedy_merge_pallas(w, mx, my, c00, c01, c11,
                                    float(min_separation), max_out,
-                                   metric=metric)
+                                   metric=metric, interpret=interpret)
     dtype = w.dtype
     col = jnp.arange(K)
     B = 16
@@ -325,7 +328,9 @@ def eval_mixture(w, mean, cov, x):
 
 def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
                            min_separation, max_out: int,
-                           use_pallas: bool = True):
+                           use_pallas: bool = True,
+                           interpret: bool = False,
+                           force: bool = False):
     """3-D channelized greedy merge (the disparity-space analog of
     ``greedy_merge_channels``; reference merges 3-D disparity Gaussians with
     the same phdUpdateMergeKernel via the Gaussian3D overloads,
@@ -335,11 +340,12 @@ def greedy_merge_channels3(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
     Returns channel outputs, each [P, max_out].
     """
     P, K = w.shape
-    if use_pallas and jax.default_backend() in ("tpu", "axon"):
+    if use_pallas and (interpret or force
+                       or jax.default_backend() in ("tpu", "axon")):
         from phdslam_tpu.kernels.merge_pallas import greedy_merge3_pallas
         return greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11,
                                     c12, c22, float(min_separation),
-                                    max_out)
+                                    max_out, interpret=interpret)
     dtype = w.dtype
     col = jnp.arange(K)
     means = (m0, m1, m2)

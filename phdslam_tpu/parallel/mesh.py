@@ -17,7 +17,21 @@ reductions cross devices each step:
      exchange) is implemented in parallel/island.py.
 
 Everything runs through the same `slam_step` used on one chip — sharding is
-expressed entirely with NamedSharding annotations, XLA inserts collectives.
+expressed entirely with NamedSharding annotations, XLA inserts collectives —
+EXCEPT the measurement update, which `slam_step` runs under `shard_map` over
+this mesh (`pmesh`, filter.step._pshard): GSPMD cannot propagate a
+partitioning through a `pallas_call`'s opaque custom call, so the fused
+Pallas kernels must lower inside a manual (per-shard) computation to run
+per-shard instead of failing or replicating. The update is RNG-free and
+per-particle independent, so the manual region is bit-identical to the
+GSPMD form; prediction, weight normalization, and the global resample stay
+in GSPMD-land where XLA's collective insertion handles them.
+
+On a non-TPU mesh the compiled Mosaic kernels cannot run; the entry points
+fall back to the XLA update path (usePallas=False) unless
+cfg.pallasInterpret asks for the Pallas code path in interpret mode — that
+is how the virtual-CPU-mesh dryrun exercises the exact shard_map-wrapped
+kernel path a real TPU mesh runs compiled.
 """
 
 from __future__ import annotations
@@ -78,6 +92,26 @@ def replicate_measurements(z: Measurements, mesh: Mesh) -> Measurements:
     return jax.device_put(z, replicated(mesh))
 
 
+def resolve_pallas(cfg, mesh: Mesh):
+    """Resolve (cfg, pmesh) for a sharded entry point.
+
+    TPU mesh -> Pallas stays on and the update runs under shard_map
+    (pmesh=mesh) so the kernel custom calls lower per-shard. Non-TPU mesh
+    -> Pallas off (XLA fallback path, GSPMD shards it fine) unless
+    cfg.pallasInterpret, which keeps the Pallas code path in interpret
+    mode under the same shard_map wrapping (testing only; slow)."""
+    on_tpu = mesh.devices.flat[0].platform in ("tpu",)
+    if on_tpu and cfg.usePallas and not cfg.pallasInterpret:
+        # compiled kernels follow the MESH's platform, not the process
+        # default backend (which may be CPU when AOT-lowering for TPU)
+        cfg = cfg.replace(pallasForce=True)
+    if not on_tpu and not cfg.pallasInterpret:
+        cfg = cfg.replace(usePallas=False)
+    pmesh = mesh if (cfg.usePallas and (on_tpu or cfg.pallasInterpret)) \
+        else None
+    return cfg, pmesh
+
+
 def sharded_run_scan(cfg, mesh: Mesh, with_log_state: bool = False):
     """Whole-dataset `lax.scan` with the particle axis sharded over the
     mesh — the global-resample analog of parallel.island.island_run_scan
@@ -98,8 +132,7 @@ def sharded_run_scan(cfg, mesh: Mesh, with_log_state: bool = False):
     from phdslam_tpu.filter.step import run_scan
 
     rep = replicated(mesh)
-    if mesh.devices.flat[0].platform not in ("tpu",):
-        cfg = cfg.replace(usePallas=False)
+    cfg, pmesh = resolve_pallas(cfg, mesh)
 
     dummy = SlamState.create(cfg)
     st_shard = state_shardings(dummy, mesh)
@@ -107,7 +140,8 @@ def sharded_run_scan(cfg, mesh: Mesh, with_log_state: bool = False):
 
     def run(state, key, controls, zs, dts):
         return run_scan(state, key, controls, zs, dts, cfg,
-                        controls.shape[0], with_log_state=with_log_state)
+                        controls.shape[0], with_log_state=with_log_state,
+                        pmesh=pmesh)
 
     return jax.jit(
         run,
@@ -126,12 +160,11 @@ def sharded_disparity_step(cfg, mesh: Mesh):
     from phdslam_tpu.filter.disparity import DisparityState, disparity_step
 
     rep = replicated(mesh)
-    if mesh.devices.flat[0].platform not in ("tpu",):
-        cfg = cfg.replace(usePallas=False)
+    cfg, pmesh = resolve_pallas(cfg, mesh)
 
     def step(state, key, z_uv, z_valid, dt, do_predict):
         return disparity_step(state, key, z_uv, z_valid, dt, do_predict,
-                              cfg)
+                              cfg, pmesh=pmesh)
 
     dummy = DisparityState.create(cfg)
     st_shard = state_shardings(dummy, mesh)
@@ -151,11 +184,11 @@ def sharded_step(cfg, mesh: Mesh):
     rep = replicated(mesh)
     # Pallas kernels follow the mesh's devices, not the process default
     # backend (a TPU plugin can be the default while this mesh is CPU)
-    if mesh.devices.flat[0].platform not in ("tpu",):
-        cfg = cfg.replace(usePallas=False)
+    cfg, pmesh = resolve_pallas(cfg, mesh)
 
     def step(state, key, control, z, dt, do_predict):
-        return slam_step(state, key, control, z, dt, do_predict, cfg)
+        return slam_step(state, key, control, z, dt, do_predict, cfg,
+                         pmesh=pmesh)
 
     dummy = SlamState.create(cfg)
     st_shard = state_shardings(dummy, mesh)

@@ -5,6 +5,28 @@ from __future__ import annotations
 import time
 
 
+def pallas_opts(cfg):
+    """Resolve ``(use_pallas, interpret)`` for the fused TPU kernels.
+
+    ``cfg.pallasInterpret`` forces the Pallas code path in interpret mode
+    (pure-XLA emulation) regardless of backend — this is how the virtual
+    CPU mesh (multi-chip dryrun/tests) exercises the kernel path that a
+    real TPU mesh runs compiled. ``cfg.pallasForce`` keeps the compiled
+    kernels on when jitting/AOT-lowering for a TPU mesh from a process
+    whose default backend is not a TPU (jax.export cross-platform
+    lowering). Otherwise Pallas is used only when the process default
+    backend is a TPU."""
+    if not cfg.usePallas:
+        return False, False
+    if cfg.pallasInterpret:
+        return True, True
+    if cfg.pallasForce:
+        return True, False
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon"), False
+
+
 def ensure_backend(retries: int = 5, delay_s: float = 3.0):
     """Initialize the default JAX backend with retries.
 

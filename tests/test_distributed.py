@@ -170,6 +170,109 @@ def test_sharded_disparity_matches_single_device(mesh):
                                rtol=1e-3, atol=1e-5)
 
 
+def _manual_computation_body(mlir: str) -> str:
+    """Extract the body of the first sdy.manual_computation region in an
+    exported StableHLO module: from the op token to the `sdy.return` that
+    terminates its region (brace-matching is unreliable here — attribute
+    dicts like manual_axes={"particles"} and escaped braces inside
+    backend_config strings defeat it)."""
+    start = mlir.index("sdy.manual_computation")
+    end = mlir.index("sdy.return", start)
+    return mlir[start:end]
+
+
+def _export_step_for_tpu(cfg, mesh, pmesh):
+    """AOT-lower the sharded step for the TPU platform (no TPU devices
+    needed — jax.export cross-platform lowering) and return the StableHLO
+    text."""
+    cfg = cfg.replace(usePallas=True, pallasForce=True)
+    state = SlamState.create(cfg)
+    z = _inputs(cfg)
+    st_shard = state_shardings(state, mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def step(state, key, control, z, dt, do_predict):
+        return slam_step(state, key, control, z, dt, do_predict, cfg,
+                         pmesh=pmesh)
+
+    jitted = jax.jit(step, in_shardings=(
+        st_shard, rep, (rep, rep),
+        jax.tree.map(lambda _: rep, Measurements(rb=0, label=0, valid=0)),
+        rep, rep))
+    exp = jax.export.export(jitted, platforms=["tpu"])(
+        state, jax.random.PRNGKey(0),
+        (jnp.float32(1.0), jnp.float32(0.05)), z, jnp.float32(1.0),
+        jnp.asarray(True))
+    return exp.mlir_module()
+
+
+def test_sharded_step_pallas_lowers_per_shard_for_tpu(tiny_cfg, mesh):
+    """VERDICT r3 #1(a): the flagship multi-chip path (global resample,
+    particle-axis sharding, usePallas=True) must LOWER for a multi-device
+    TPU mesh with the fused Pallas kernels inside a manual (per-shard)
+    computation — GSPMD cannot partition a pallas_call custom call, so
+    without the shard_map wrap the kernels would fail to lower or be
+    replicated on a real v5e-8."""
+    import re
+
+    cfg = tiny_cfg.replace(n_particles=32)
+    mlir = _export_step_for_tpu(cfg, mesh, pmesh=mesh)
+    assert mlir.count("tpu_custom_call") >= 2, \
+        "expected the fused update + merge Mosaic kernels in the module"
+    assert "sdy.manual_computation" in mlir, \
+        "measurement update must lower as a manual (shard_map) computation"
+    body = _manual_computation_body(mlir)
+    # the kernels may be outlined into funcs (fused_update_select,
+    # greedy_merge_pallas) — every func holding a tpu_custom_call must be
+    # invoked from inside the manual region (or the call is inlined there)
+    cc_funcs = {re.search(r"@([\w$]+)", c).group(1)
+                for c in re.split(r"(?=func\.func)", mlir)
+                if "tpu_custom_call" in c and c.startswith("func.func")}
+    body_calls = set(re.findall(r"call @([\w$]+)", body))
+    outside = cc_funcs - body_calls
+    assert not outside and (cc_funcs or body.count("tpu_custom_call") > 0), \
+        f"Pallas custom calls outside the per-shard region: {outside}"
+    # negative control: without the shard_map wrap, lowering the same step
+    # for the multi-device TPU mesh FAILS outright ("Mosaic kernels cannot
+    # be automatically partitioned") — the round-3 flagship-path bug this
+    # test guards against
+    with pytest.raises(Exception, match="cannot be automatically"):
+        _export_step_for_tpu(cfg, mesh, pmesh=None)
+
+
+def test_sharded_step_pallas_interpret_matches_single_device(tiny_cfg,
+                                                             mesh):
+    """VERDICT r3 #1(b): execute the shard_map-wrapped Pallas code path on
+    the virtual CPU mesh (interpret mode) and require bit-equivalence with
+    the single-device step running the identical kernels."""
+    cfg = tiny_cfg.replace(n_particles=32, usePallas=True,
+                           pallasInterpret=True)
+    z = _inputs(cfg)
+    key = jax.random.PRNGKey(11)
+
+    s_single = SlamState.create(cfg)
+    s_single, aux1 = slam_step(
+        s_single, key, (jnp.float32(1.0), jnp.float32(0.05)), z,
+        jnp.float32(1.0), jnp.asarray(False), cfg)
+
+    s_shard = shard_state(SlamState.create(cfg), mesh)
+    s_shard, aux2 = sharded_step(cfg, mesh)(
+        s_shard, key, (jnp.float32(1.0), jnp.float32(0.05)),
+        replicate_measurements(z, mesh), jnp.float32(1.0),
+        jnp.asarray(False))
+
+    assert len(s_shard.log_weights.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(aux1.expected_pose),
+                               np.asarray(aux2.expected_pose),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_single.log_weights),
+                               np.asarray(s_shard.log_weights),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_single.map_static.w),
+                               np.asarray(s_shard.map_static.w),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
