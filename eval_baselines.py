@@ -233,10 +233,21 @@ def main():
         # is no way back) — the anchor shows the divergence is inherent
         # to the scenario, not a TPU-engine fault.
         anchor = "results/cv_full_cpu_anchor.json"
+        # the anchor is only valid for the exact config/dataset it was
+        # computed under — record the identifiers and recompute on mismatch
+        anchor_key = dict(steps=int(T1f), n_particles=int(cfg1.n_particles),
+                          max_features=int(cfg1.maxFeatures),
+                          dataset="measurements_synth_cv.txt",
+                          n_meas_steps=int(len(ms_cv)))
+        cvf_cpu = None
         if os.path.exists(anchor):
             with open(anchor) as f:
                 cvf_cpu = json.load(f)
-        else:
+            if cvf_cpu.get("key") != anchor_key:
+                print(f"anchor {anchor} stale "
+                      f"({cvf_cpu.get('key')} != {anchor_key}); recomputing")
+                cvf_cpu = None
+        if cvf_cpu is None:
             meas_np_f = [np.stack([m.ranges, m.bearings], 1)
                          for m in ms_cv[:T1f]]
             poses1f = R.run(cfg1, np.zeros((T1f - 1, 2), np.float32),
@@ -244,6 +255,7 @@ def main():
             err1f_cpu = np.linalg.norm(
                 poses1f[:, :2] - traj_cv[:2, :T1f].T, axis=1)
             cvf_cpu = dict(steps=int(T1f),
+                           key=anchor_key,
                            cpu_pose_mean=float(err1f_cpu.mean()),
                            cpu_pose_final=float(err1f_cpu[-1]))
             os.makedirs("results", exist_ok=True)

@@ -171,9 +171,26 @@ def _project_disparity_record(d):
     return d
 
 
+def _card_estimate(d) -> float:
+    """Cardinality estimate for one log record: a CPHD log's cardinality
+    line is a real log-pmf (has variation) -> decode E[n]; a PHD log
+    writes the all-zeros placeholder line (main.cpp:949-950) -> fall back
+    to the intensity mass (static weight sum)."""
+    cn = np.asarray(d.get("cardinality", ()))
+    if cn.size > 1 and np.ptp(cn) > 0:
+        pmf = np.exp(cn - cn.max())
+        pmf /= pmf.sum()
+        return float(np.sum(pmf * np.arange(cn.size)))
+    return float(d["static"][:, 0].sum())
+
+
 def build_player(log_dir: str, out_path: str = None, truth_mat: str = None,
                  stride: int = 1, max_particles: int = 256) -> str:
     """Bundle a log directory into a standalone interactive HTML player.
+
+    Cardinality panel semantics shared with LogPlayer via _card_estimate:
+    CPHD logs carry a real log-pmf -> E[n]; PHD logs carry the all-zeros
+    placeholder line -> intensity mass.
 
     Embeds per-step: expected pose, decimated particle cloud, the MAP
     map's (w, mean, cov) rows, and the cardinality estimate; plus the
@@ -193,15 +210,7 @@ def build_player(log_dir: str, out_path: str = None, truth_mat: str = None,
         parts = d["poses"][:, :2]
         if len(parts) > max_particles:
             parts = parts[:: len(parts) // max_particles + 1]
-        cn = d["cardinality"]
-        # PHD logs write an all-zeros cardinality line (main.cpp:949-950)
-        # -> intensity mass; a real log-pmf has variation -> E[n]
-        if cn.size > 1 and np.ptp(cn) > 0:
-            pmf = np.exp(cn - cn.max())
-            pmf /= pmf.sum()
-            card = float(np.sum(pmf * np.arange(cn.size)))
-        else:
-            card = float(w.sum())
+        card = _card_estimate(d)
         frames.append(dict(
             t=i,
             pose=[round(float(v), 3) for v in d["pose"][:3]],
@@ -279,9 +288,10 @@ class LogPlayer:
 
         self.est_traj_xy = np.stack(
             [r["pose"][:2] for r in self.records])
-        # estimated map cardinality = the logged intensity mass
+        # estimated map cardinality: CPHD pmf -> E[n], else intensity mass
+        # (same branch as build_player, so GUI and HTML replays agree)
         self.card_est = np.array(
-            [float(r["static"][:, 0].sum()) for r in self.records])
+            [_card_estimate(r) for r in self.records])
 
         self.fig = plt.figure(figsize=(12, 6))
         gs = GridSpec(2, 4, figure=self.fig)
@@ -321,7 +331,7 @@ class LogPlayer:
         (self.l_cn,) = self.ax_cn.plot([], [], "b-", lw=1.2,
                                        label="played")
         (self.l_cn_now,) = self.ax_cn.plot([], [], "bo", ms=5)
-        self.ax_cn.set_title("estimated cardinality (intensity mass)")
+        self.ax_cn.set_title("estimated cardinality")
         self.ax_cn.set_xlabel("step")
         self.ax_cn.legend(loc="upper left", fontsize=8)
         self.fig.suptitle(self._title(0))

@@ -587,7 +587,8 @@ def main(argv=None):
     if getattr(args, "player", False) and not args.no_logs:
         from phdslam_tpu.eval.player import build_player
         truth = args.truth if args.truth else (
-            args.data_dir if args.run_type == "disparity" else None)
+            (args.data_dir or cfg.dataDirectory)
+            if args.run_type == "disparity" else None)
         try:
             out = build_player(args.out_dir, truth_mat=truth)
             print(f"player: {out}")
