@@ -485,7 +485,23 @@ def run_synth(cfg: SlamConfig, args) -> dict:
             ckpt.save_checkpoint(ckpt_dir, t, state, key)
         if args.mat_export or cfg.saveAllMaps:
             from phdslam_tpu.io.matdump import write_particles_mat
-            write_particles_mat(out_dir, t, jax.device_get(state))
+            hstate = jax.device_get(state)
+            has_dyn = (cfg.featureModel != 0
+                       and state.map_dynamic.max_features > 0)
+            est_maps = {}
+            if cfg.mapEstimate & 1:  # MAP map (src/main.cpp:672-682)
+                est_maps["max_map_static"] = _map_for_log(
+                    hstate, hstate.map_static, cfg, eap=False)
+                if has_dyn:
+                    est_maps["max_map_dynamic"] = _map_for_log(
+                        hstate, hstate.map_dynamic, cfg, eap=False)
+            if cfg.mapEstimate & 2:  # EAP map (src/main.cpp:684-692)
+                est_maps["exp_map_static"] = _map_for_log(
+                    hstate, hstate.map_static, cfg, eap=True)
+                if has_dyn:
+                    est_maps["exp_map_dynamic"] = _map_for_log(
+                        hstate, hstate.map_dynamic, cfg, eap=True)
+            write_particles_mat(out_dir, t, hstate, **est_maps)
         if np.isnan(neff_val):
             print("nan weights detected! exiting...")
             break

@@ -69,9 +69,16 @@ def test_mat_export_roundtrip(tiny_cfg, tmp_path):
     p = d["particles"][0, 0]
     assert p["states"].shape == (6, cfg.n_particles)
     assert p["weights"].size == cfg.n_particles
-    ms = p["maps_static"][0, 0]
-    w0 = ms["weights"][0 if ms["weights"].shape[0] > 1 else 0]
-    assert ms["weights"].size == cfg.n_particles
+    # maps_static is a 1xN struct array (write_map_mat, src/main.cpp:503-556)
+    ms = p["maps_static"]
+    assert ms.shape == (1, cfg.n_particles)
+    e = ms[0, 0]
+    assert e["means"].shape[0] == 2
+    assert e["covs"].shape[:2] == (2, 2)
+    from phdslam_tpu.io.matdump import read_particles_mat
+    back = read_particles_mat(path)
+    np.testing.assert_allclose(back["weights"],
+                               np.asarray(state.log_weights), rtol=1e-6)
 
 
 @pytest.mark.slow
