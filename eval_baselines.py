@@ -825,6 +825,27 @@ def main():
             f"{mx['tpu_pose_mean_cpu_window']} m on the same window; "
             f"CPU {mx['cpu_ms_per_step']} ms/step",
             ""]
+    if os.path.exists("results/ospa_latency.json"):
+        with open("results/ospa_latency.json") as f:
+            ol = json.load(f)
+        results["ospa_latency"] = ol
+        lines += [
+            "## In-loop OSPA (ospa_jax) on-device latency "
+            "(scripts/ospa_latency.py)",
+            "| padded set size | ms/call | worst gap vs exact JV |",
+            "|---|---|---|"]
+        lines += [f"| {r['n']} | {r['ms']} | {r['max_gap']} |"
+                  for r in ol["rows"]]
+        lines += [
+            "",
+            "- Jacobi auction with eps-scaling (theta=4 down to eps=1e-3 "
+            "on costs normalized to [0,1]): terminates in a hard "
+            "O(n log 1/eps) iteration bound with a feasibility cleanup, "
+            "and the returned metric is within eps*c of exact "
+            "(ops/ospa.py) — measured gaps above are ~1e-5. Latency "
+            "includes per-call tunnel dispatch; in-loop scoring at the "
+            "reference's M=256 measurement cap costs ~1 dense-step.",
+            ""]
     if os.path.exists("results/stage_profile.json"):
         with open("results/stage_profile.json") as f:
             sp = json.load(f)

@@ -56,45 +56,100 @@ def ospa_np(x, y, p: float = 1.0, c: float = 10.0):
     return err, err_loc, err_cn
 
 
-def _auction_assign(cost, n_iters: int):
-    """Forward auction algorithm for square min-cost assignment under jit.
+#: eps-optimality of the final scaling phase, in units of the (normalized
+#: to [0, 1]) cost range: the auction terminates with total assignment cost
+#: within n * EPS_FINAL of optimal (Bertsekas eps-complementary-slackness),
+#: so after OSPA's division by n the metric error is bounded by
+#: EPS_FINAL * c**p in absolute terms (5e-3 at the batch_analyze p=1, c=5).
+_EPS_FINAL = 1e-3
+_THETA = 4.0     # eps reduction factor between scaling phases
+#: per-phase iteration budget, in multiples of n. With theta-scaling a
+#: phase needs ~n*(theta+1) bids (each bid raises one price by >= eps, and
+#: a phase only has to recover the ~n*theta*eps slack left by its
+#: predecessor), so 16n covers theta=4 with ~3x headroom; the measured
+#: counts in results/ospa_latency.json sit well below the cap.
+_BIDS_PER_N = 16
 
-    cost [n, n]. Returns owner[j] = row assigned to column j (-1 none).
-    Converted to a max-benefit auction internally. eps-scaling fixed by
-    iteration count; adequate for OSPA scoring where costs are in [0, c].
+
+def _auction_assign(cost, max_iters: int = 0):
+    """Jacobi (all-bidders-parallel) forward auction with eps-scaling for
+    square min-cost assignment under jit — the TPU-friendly formulation:
+    every unassigned row bids simultaneously, each column accepts its best
+    bid, so one iteration is a handful of [n, n] VPU ops instead of the
+    sequential one-bid-per-trip Gauss-Seidel form.
+
+    cost [n, n] with entries in [0, 1] (callers normalize by c**p).
+    Returns owner[j] = row assigned to column j.
+
+    Cost/termination contract:
+      - scaling phases eps = theta^k * EPS_FINAL down to EPS_FINAL, each
+        capped at _BIDS_PER_N * n iterations -> hard total bound
+        O(n log(1/EPS_FINAL)) iterations of O(n^2) vector work;
+      - if every phase converges (the observed case — see
+        results/ospa_latency.json probes) the assignment satisfies
+        eps-complementary slackness at EPS_FINAL;
+      - if the budget is ever exhausted, remaining rows are paired with
+        remaining columns arbitrarily, guaranteeing a *feasible* (possibly
+        suboptimal) assignment rather than an unterminated loop.
     """
     n = cost.shape[0]
     benefit = -cost
-    eps = 1.0 / (n + 1)
+    cols = jnp.arange(n)
 
-    def body(state):
-        it, price, owner, assigned = state
-        # first unassigned row
-        i = jnp.argmin(assigned)
-        values = benefit[i] - price
-        j_best = jnp.argmax(values)
-        v_best = values[j_best]
-        values2 = values.at[j_best].set(-jnp.inf)
-        v_second = jnp.max(values2)
-        bid = v_best - v_second + eps
-        price = price.at[j_best].add(bid)
-        # previous owner of j_best becomes unassigned
-        prev = owner[j_best]
-        assigned = jnp.where(prev >= 0, assigned.at[prev].set(False),
-                             assigned)
-        owner = owner.at[j_best].set(i)
-        assigned = assigned.at[i].set(True)
-        return it + 1, price, owner, assigned
+    n_phases = max(1, int(np.ceil(np.log(0.25 / _EPS_FINAL)
+                                  / np.log(_THETA))) + 1)
+    eps_schedule = jnp.asarray(
+        [_EPS_FINAL * _THETA ** (n_phases - 1 - k) for k in range(n_phases)],
+        cost.dtype)
+    phase_budget = max_iters or _BIDS_PER_N * n
 
-    def cond(state):
-        it, _, _, assigned = state
-        return (~jnp.all(assigned)) & (it < n_iters)
+    def phase_body(carry, eps):
+        price = carry
 
-    init = (jnp.array(0, jnp.int32),
-            jnp.zeros((n,), cost.dtype),
-            jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n,), bool))
-    _, _, owner, _ = jax.lax.while_loop(cond, body, init)
+        def cond(s):
+            it, _, _, assigned = s
+            return (~jnp.all(assigned)) & (it < phase_budget)
+
+        def body(s):
+            it, price, owner, assigned = s
+            values = benefit - price[None, :]
+            j_best = jnp.argmax(values, axis=1)
+            v_best = jnp.take_along_axis(values, j_best[:, None], 1)[:, 0]
+            v_second = jnp.max(values.at[cols, j_best].set(-jnp.inf), axis=1)
+            v_second = jnp.where(jnp.isfinite(v_second), v_second, v_best)
+            bid_inc = v_best - v_second + eps
+            # column j accepts the highest bid among unassigned rows
+            # targeting it (ties break to the lowest row index)
+            bid_mat = jnp.where(
+                (~assigned)[:, None] & (j_best[:, None] == cols[None, :]),
+                bid_inc[:, None], -jnp.inf)
+            col_bid = jnp.max(bid_mat, axis=0)
+            col_bidder = jnp.argmax(bid_mat, axis=0)
+            win = jnp.isfinite(col_bid)
+            price = jnp.where(win, price + col_bid, price)
+            owner = jnp.where(win, col_bidder, owner)
+            # rows whose column was taken become unassigned implicitly:
+            # recompute assignment from ownership
+            assigned = jnp.zeros_like(assigned).at[
+                jnp.where(owner >= 0, owner, n)].set(True, mode="drop")
+            return it + 1, price, owner, assigned
+
+        init = (jnp.array(0, jnp.int32), price,
+                jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), bool))
+        _, price, owner, assigned = jax.lax.while_loop(cond, body, init)
+        return price, (owner, assigned)
+
+    _, (owners, assigneds) = jax.lax.scan(phase_body,
+                                          jnp.zeros((n,), cost.dtype),
+                                          eps_schedule)
+    owner, assigned = owners[-1], assigneds[-1]
+
+    # feasibility cleanup: pair leftover unassigned rows with unowned
+    # columns in index order (no-op when the auction converged)
+    free_cols = jnp.where(owner < 0, size=n, fill_value=n)[0]
+    row_rank = jnp.cumsum(~assigned) - 1
+    target = jnp.where(~assigned, free_cols[jnp.clip(row_rank, 0, n - 1)], n)
+    owner = owner.at[target].set(cols, mode="drop")
     return owner
 
 
@@ -110,7 +165,6 @@ def ospa_jax(x, x_valid, y, y_valid, p: float = 1.0, c: float = 10.0,
     """
     mx, my = x.shape[0], y.shape[0]
     n = max(mx, my)
-    iters = max_iters or 8 * n * n
 
     # build padded square cost: real-real pairs get min(dist, c); any pair
     # involving a padded slot costs exactly c
@@ -121,16 +175,21 @@ def ospa_jax(x, x_valid, y, y_valid, p: float = 1.0, c: float = 10.0,
     d = jnp.linalg.norm(big_x[:, None, :] - big_y[None, :, :], axis=-1)
     d = jnp.minimum(d, c)
     d = jnp.where(vx[:, None] & vy[None, :], d, c)
-    owner = _auction_assign(d ** p, iters)
+    # the auction works on costs normalized to [0, 1] so its eps schedule
+    # and optimality bound are scale-free
+    owner = _auction_assign(d ** p / c ** p, max_iters)
 
     cols = jnp.arange(n)
-    pair_cost = d[owner, cols] ** p
-    both_real = vx[owner] & vy
-    total_loc = jnp.sum(jnp.where(both_real, pair_cost, 0.0))
-
     m_count = jnp.minimum(jnp.sum(vx), jnp.sum(vy)).astype(x.dtype)
     n_count = jnp.maximum(jnp.sum(vx), jnp.sum(vy)).astype(x.dtype)
     cp = jnp.asarray(c ** p, x.dtype)
+    # every padded-square pair except real-real costs exactly c^p, so the
+    # real-assignment localization cost falls out of the total without
+    # needing to know which optimum (real-real at cutoff vs routed through
+    # padding slots — both cost c^p) the auction picked:
+    #   total_loc = T - (N - m) c^p,  T = full padded assignment cost
+    total_pad = jnp.sum(d[owner, cols] ** p)
+    total_loc = jnp.maximum(total_pad - (n - m_count) * cp, 0.0)
     n_safe = jnp.maximum(n_count, 1.0)
     err = ((total_loc + (n_count - m_count) * cp) / n_safe) ** (1.0 / p)
     loc = (total_loc / n_safe) ** (1.0 / p)
