@@ -207,6 +207,19 @@ class SlamConfig:
                                 # Pallas TPU lowering — so the vmapped MC
                                 # path (eval/batch.py) turns it off and the
                                 # kernels loop over the static M instead.
+    birthVelocityInit: bool = False  # informed 4-D births (two-detection
+                                # velocity initialization): seed a dynamic
+                                # birth's velocity mean from the nearest
+                                # previous-step measurement,
+                                # (p_t - p_{t-1})/dt, with the honestly
+                                # propagated variance 2*sigma_p^2/dt^2
+                                # (capped at the covVxBirth prior);
+                                # unmatched measurements keep the zero-mean
+                                # covVxBirth prior. TPU-rebuild extension —
+                                # the reference births at zero velocity
+                                # (src/phdfilter.cu:244-299).
+    birthVelMax: float = 5.0    # informed-birth association radius
+                                # (birthVelMax * dt) and implied-speed cap
     cnPoissonPredict: bool = True  # CPHD predicted-cardinality prior:
                                 # True (default) rebuilds it as Poisson of
                                 # the full-map intensity mass each step —
@@ -322,6 +335,8 @@ _KEY_MAP = {
     "use_pallas": "usePallas",
     "pallas_interpret": "pallasInterpret",
     "select_by_index": "selectByIndex",
+    "birth_velocity_init": "birthVelocityInit",
+    "birth_vel_max": "birthVelMax",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(SlamConfig)}

@@ -179,6 +179,19 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
                 label=jnp.zeros((m,), jnp.int32),
                 valid=jnp.zeros((m,), bool))
 
+    # ---- informed 4-D birth anchors (cfg.birthVelocityInit) -------------
+    # Previous measurements in the world frame at pose_{t-1} (BEFORE the
+    # prediction moves the particles) — the two-detection velocity init's
+    # first endpoint (update4.informed_birth_velocity).
+    zw_prev = None
+    if (cfg.featureModel in (1, 2) and cfg.birthVelocityInit
+            and z_prev is not None):
+        from phdslam_tpu.filter.update4 import prev_measurement_world
+        zw_prev = prev_measurement_world(state.pose, z_prev.rb, z_prev.valid)
+        if cfg.nPredictParticles > 1:
+            # shotgun expansion duplicates particles; anchors follow
+            zw_prev = jnp.repeat(zw_prev, cfg.nPredictParticles, axis=0)
+
     # ---- prediction (with sub-step subdivision, src/main.cpp:1248-1254) ----
     state = _run_prediction(state, k_pred, control, dt, do_predict, cfg)
 
@@ -209,12 +222,27 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
                               cardinality=cn_update), log_lik
         if cfg.featureModel in (1, 2):  # DYNAMIC / MIXED
             from phdslam_tpu.filter.update4 import phd_update_mixed
-            gm2_out, gm4_out, dw = _pshard(
-                pmesh,
-                lambda pose, g2, g4, zrb, zlab, zval: phd_update_mixed(
-                    pose, g2, g4, zrb, zlab, zval, cfg),
-                (st.pose, st.map_static, st.map_dynamic),
-                (z.rb, z.label, z.valid))
+            if zw_prev is not None:
+                from phdslam_tpu.filter.update4 import (
+                    informed_birth_velocity)
+
+                def upd_mixed(pose, g2, g4, zw, zrb, zlab, zval, zpv, dtt):
+                    bv = informed_birth_velocity(pose, zrb, zval, zw, zpv,
+                                                 dtt, cfg)
+                    return phd_update_mixed(pose, g2, g4, zrb, zlab, zval,
+                                            cfg, birth_vel=bv)
+
+                gm2_out, gm4_out, dw = _pshard(
+                    pmesh, upd_mixed,
+                    (st.pose, st.map_static, st.map_dynamic, zw_prev),
+                    (z.rb, z.label, z.valid, z_prev.valid, dt))
+            else:
+                gm2_out, gm4_out, dw = _pshard(
+                    pmesh,
+                    lambda pose, g2, g4, zrb, zlab, zval: phd_update_mixed(
+                        pose, g2, g4, zrb, zlab, zval, cfg),
+                    (st.pose, st.map_static, st.map_dynamic),
+                    (z.rb, z.label, z.valid))
             lw = st.log_weights + dw
             log_lik = jax.scipy.special.logsumexp(lw)
             lw = lw - log_lik

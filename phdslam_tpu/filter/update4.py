@@ -164,12 +164,15 @@ def kalman_preupdate4(pose, gm: Gaussian4DMixture,
         si00=si00, si01=si01, si11=si11, log_det_s=jnp.log(det_s))
 
 
-def birth4_channels(pose, z_rb, cfg):
+def birth4_channels(pose, z_rb, cfg, vel=None):
     """4-D birth Gaussians (computeBirth 4-D, src/phdfilter.cu:244-299):
     position block from the inverse measurement, zero velocity mean,
     diag(covVxBirth, covVyBirth) velocity covariance.
 
     pose [P,>=3], z_rb gathered per candidate [P,K,2]-style channels.
+    vel: optional (vx, vy, var_v) informed velocity init (broadcastable to
+    the birth shape) from `informed_birth_velocity` — replaces the
+    zero-mean prior per birth (cfg.birthVelocityInit extension).
     Returns mean channels [4][...], cov channels [10][...]."""
     rng = z_rb[..., 0]
     theta = pose[..., 2] + z_rb[..., 1]
@@ -178,18 +181,78 @@ def birth4_channels(pose, z_rb, cfg):
     bdy = rng * st
     var_r = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
     var_b = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
-    mean = [pose[..., 0] + bdx, pose[..., 1] + bdy,
-            jnp.zeros_like(bdx), jnp.zeros_like(bdx)]
     z = jnp.zeros_like(bdx)
+    if vel is None:
+        vx = vy = z
+        vvx = jnp.full_like(bdx, cfg.covVxBirth)
+        vvy = jnp.full_like(bdx, cfg.covVyBirth)
+    else:
+        vx, vy, var_v = vel
+        vx = jnp.broadcast_to(vx, bdx.shape)
+        vy = jnp.broadcast_to(vy, bdx.shape)
+        vvx = vvy = jnp.broadcast_to(var_v, bdx.shape)
+    mean = [pose[..., 0] + bdx, pose[..., 1] + bdy, vx, vy]
     cov = [ct * ct * var_r + bdy * bdy * var_b,      # (0,0)
            ct * st * var_r - bdy * bdx * var_b,      # (0,1)
            z, z,                                      # (0,2) (0,3)
            st * st * var_r + bdx * bdx * var_b,      # (1,1)
            z, z,                                      # (1,2) (1,3)
-           jnp.full_like(bdx, cfg.covVxBirth),       # (2,2)
+           vvx,                                       # (2,2)
            z,                                         # (2,3)
-           jnp.full_like(bdx, cfg.covVyBirth)]       # (3,3)
+           vvy]                                       # (3,3)
     return mean, cov
+
+
+def informed_birth_velocity(pose, z_rb, z_valid, zw_prev, zp_valid, dt,
+                            cfg: SlamConfig):
+    """Two-detection velocity initialization for 4-D births
+    (cfg.birthVelocityInit; TPU-rebuild extension, no reference
+    counterpart — the reference births at zero velocity,
+    src/phdfilter.cu:244-299).
+
+    For each current measurement m, find the nearest previous-step
+    measurement in the world frame (zw_prev [P, Mp, 2], converted at the
+    pre-prediction pose) and seed the birth velocity with
+    (p_m - p_prev)/dt when the implied speed is under cfg.birthVelMax.
+    The velocity variance is the honestly propagated two-point estimate
+    2*sigma_p^2/dt^2 (per-axis isotropic bound sigma_p^2 = var_r +
+    (r*std_b)^2), floored at 0.25*covVxBirth and capped at the covVxBirth
+    prior so an informed birth is never broader than the uninformed one.
+
+    Returns (vx [P,M], vy [P,M], var_v [P,M]) — unmatched measurements get
+    (0, 0, covVxBirth).
+    """
+    theta = pose[:, None, 2] + z_rb[None, :, 1]
+    px = pose[:, None, 0] + z_rb[None, :, 0] * jnp.cos(theta)   # [P,M]
+    py = pose[:, None, 1] + z_rb[None, :, 0] * jnp.sin(theta)
+    dx = px[:, :, None] - zw_prev[:, None, :, 0]                # [P,M,Mp]
+    dy = py[:, :, None] - zw_prev[:, None, :, 1]
+    d2 = dx * dx + dy * dy
+    d2 = jnp.where(zp_valid[None, None, :], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=-1)                                 # [P,M]
+    dmin2 = jnp.min(d2, axis=-1)
+    r_match = cfg.birthVelMax * dt
+    matched = (dmin2 < r_match * r_match) & z_valid[None, :] \
+        & jnp.any(zp_valid)
+    take = lambda a: jnp.take_along_axis(
+        a[:, None, :], j[:, :, None], axis=2)[..., 0]      # [P,Mp]->[P,M]
+    vx = jnp.where(matched, (px - take(zw_prev[..., 0])) / dt, 0.0)
+    vy = jnp.where(matched, (py - take(zw_prev[..., 1])) / dt, 0.0)
+    var_p = cfg.stdRange ** 2 + (z_rb[None, :, 0] * cfg.stdBearing) ** 2
+    var_two_point = 2.0 * var_p / (dt * dt)
+    var_v = jnp.clip(var_two_point, 0.25 * cfg.covVxBirth, cfg.covVxBirth)
+    var_v = jnp.where(matched, var_v, cfg.covVxBirth)
+    return vx, vy, var_v
+
+
+def prev_measurement_world(pose, z_prev_rb, z_prev_valid):
+    """World-frame positions of the previous step's measurements at the
+    PRE-prediction pose (i.e. pose_{t-1}) — the anchor points for
+    `informed_birth_velocity`. pose [P,>=3]; returns [P, Mp, 2]."""
+    theta = pose[:, None, 2] + z_prev_rb[None, :, 1]
+    x = pose[:, None, 0] + z_prev_rb[None, :, 0] * jnp.cos(theta)
+    y = pose[:, None, 1] + z_prev_rb[None, :, 0] * jnp.sin(theta)
+    return jnp.stack([x, y], axis=-1)
 
 
 def greedy_merge4(w, mean, cov, min_separation, max_out: int,
@@ -309,12 +372,15 @@ def jump_markov_scales(gm: Gaussian4DMixture, cfg: SlamConfig):
 
 
 def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
-                     cfg: SlamConfig):
+                     cfg: SlamConfig, birth_vel=None):
     """MIXED-model PHD update (phdUpdateKernelMixed,
     src/phdfilter.cu:2323-2635): one normalizer per measurement over the
     static AND dynamic detection terms; static and dynamic births both
     appended (two birthWeight terms in the normalizer when measurements are
     unlabeled); separate prune/merge per map type.
+
+    birth_vel: optional (vx [P,M], vy [P,M], var_v [P,M]) informed 4-D
+    birth velocity from `informed_birth_velocity` (cfg.birthVelocityInit).
 
     Returns (gm2_out, gm4_out, log_weight_delta [P]).
     """
@@ -457,12 +523,13 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
                                          z_rb, pose, cfg)
         sel4 = (e_sel4 * scale, mean_sel4, cov_sel4)
         gm4_out = _pool_merge_dynamic_sel(gm4, w_nd4, sel4, w_b4, z_rb,
-                                          pose, cfg)
+                                          pose, cfg, birth_vel=birth_vel)
     else:
         gm2_out = _pool_merge_static(gm2, pre2, w_nd2, w_det2, w_b2, z_rb,
                                      pose, cfg)
         gm4_out = _pool_merge_dynamic(gm4, pre4, w_nd4, w_det4, w_b4,
-                                      z_rb, pose, cfg)
+                                      z_rb, pose, cfg,
+                                      birth_vel=birth_vel)
     return gm2_out, gm4_out, dw
 
 
@@ -554,7 +621,8 @@ def gather_selected4(pre4, gm4, z_rb, f_sel):
     return mean_det, cov_det
 
 
-def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
+def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg,
+                        birth_vel=None):
     """Dynamic-map candidate pool + 4-D merge, sectioned layout
     [non-detections F | detections M*k1 | births M]. NOTE: the reference
     kills out-of-range dynamic features entirely after the update ('hack to
@@ -571,7 +639,8 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     w_sel, f_sel = jax.lax.top_k(w_det_p, k1)                   # [P,M,k1]
     mean_det, cov_det = gather_selected4(pre4, gm4, z_rb, f_sel)
 
-    bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg)
+    bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg,
+                             vel=birth_vel)
     mean_b = jnp.stack(bm, axis=1)                              # [P,4,M]
     cov_b = jnp.stack(bc, axis=1)                               # [P,10,M]
 
@@ -593,7 +662,8 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg):
     return Gaussian4DMixture(w=ow, mean_channels=om, cov_channels=oc)
 
 
-def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg):
+def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg,
+                            birth_vel=None):
     """Sectioned dynamic merge from preselected (kernel) detection
     channels: [non-detections F | detections M*k1 | births M]."""
     w_sel, mean_sel, cov_sel = sel          # [P,M,k1], [P,4,M,k1], [P,10,M,k1]
@@ -605,7 +675,8 @@ def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg):
     w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
     w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
 
-    bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg)
+    bm, bc = birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg,
+                             vel=birth_vel)
     mean_b = jnp.stack(bm, axis=1)                              # [P,4,M]
     cov_b = jnp.stack(bc, axis=1)                               # [P,10,M]
 

@@ -48,6 +48,7 @@ def _pad_rows(arrs, tile_p):
 
 def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
             ow_ref, omx_ref, omy_ref, o00_ref, o01_ref, o11_ref,
+            wrem_ref,
             *, cap: int, min_separation: float, metric: int,
             block: int):
     tp, K = w_ref.shape
@@ -73,7 +74,11 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         """One greedy pick + moment-matched merge; returns the remaining
         weights, its NEXT max (so the loop cond and the next pick reuse
         one reduction), and this pick's output channel values ([tp] each).
-        Rows whose weights are exhausted produce zeros (the pre-fill)."""
+        Rows whose weights are exhausted produce zeros (the pre-fill).
+        The remaining weights live in the wrem_ref VMEM scratch between
+        while iterations — carrying the [tp, K] array by value made
+        Mosaic copy ~0.5 MB per trip, which dominated the loop at
+        cap-bound trip counts."""
         hit = w_rem == mval[:, None]
         first = jnp.min(jnp.where(hit, iota, K), axis=1)
         onehot = iota == first[:, None]
@@ -99,14 +104,18 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
             dist = 1.0 - jnp.sqrt(
                 jnp.maximum(jnp.sqrt(jnp.maximum(det_prod, 0.0))
                             / (det_sum / 4.0), 0.0)) * jnp.exp(eps_q)
+            near = dist < min_separation
         else:
             a00 = 0.5 * (r00 + c00)
             a01 = 0.5 * (r01 + c01)
             a11 = 0.5 * (r11 + c11)
             det = a00 * a11 - a01 * a01
-            dist = (dx * dx * a11 - 2.0 * dx * dy * a01
-                    + dy * dy * a00) / det
-        sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
+            # division-free threshold: quad/det < sep with det > 0 (PSD
+            # average) is exactly quad < sep * det — drops a [tp, K]
+            # divide per pick
+            quad = (dx * dx * a11 - 2.0 * dx * dy * a01 + dy * dy * a00)
+            near = quad < min_separation * det
+        sel = (near & (w_rem > 0.0)) | onehot
         sel = sel & (mval > 0.0)[:, None]
         sw = jnp.where(sel, w_rem, 0.0)
         wsum = jnp.sum(sw, axis=1)                           # [tp]
@@ -142,11 +151,13 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
     # Sequential-greedy semantics are unchanged: each pick sees the
     # previous picks' zeroed weights. Callers pick block | cap.
     def body(carry):
-        i, w_rem, mval = carry
+        i, mval = carry
+        w_rem = wrem_ref[:, :]
         outs = []
         for _b in range(block):
             w_rem, mval, vals = one_pick(w_rem, mval)
             outs.append(vals)
+        wrem_ref[:, :] = w_rem
         slabs = [jnp.stack([o[k] for o in outs], axis=0)
                  for k in range(6)]                          # [block, tp]
         ow_ref[pl.ds(i, block), :] = slabs[0]
@@ -155,17 +166,17 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         o00_ref[pl.ds(i, block), :] = slabs[3]
         o01_ref[pl.ds(i, block), :] = slabs[4]
         o11_ref[pl.ds(i, block), :] = slabs[5]
-        return i + block, w_rem, mval
+        return i + block, mval
 
     def cond(carry):
         # the carried max doubles as the emptiness test — no extra
         # any(w_rem > 0) reduction per iteration
-        i, _w_rem, mval = carry
+        i, mval = carry
         return (i < cap) & (jnp.max(mval) > 0.0)
 
     w0 = w_ref[:, :]
-    jax.lax.while_loop(cond, body,
-                       (jnp.int32(0), w0, jnp.max(w0, axis=1)))
+    wrem_ref[:, :] = w0
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.max(w0, axis=1)))
 
 
 @functools.partial(jax.jit,
@@ -189,7 +200,7 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
     if block <= 0:
-        block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
+        block = next(b for b in (16, 8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, cap=max_out,
                           min_separation=float(min_separation),
@@ -199,6 +210,7 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
         out_specs=(out,) * 6,
         out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
                         for _ in range(6)),
+        scratch_shapes=[pltpu.VMEM((tile_p, K), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(48e6 * max(1, tile_p // 128))),
         cost_estimate=pl.CostEstimate(
@@ -330,7 +342,7 @@ def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
-    block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
+    block = next(b for b in (16, 8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel4, cap=max_out,
                           min_separation=float(min_separation),
@@ -451,7 +463,7 @@ def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
-    block = next(b for b in (8, 4, 2, 1) if max_out % b == 0)
+    block = next(b for b in (16, 8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel3, cap=max_out,
                           min_separation=float(min_separation),

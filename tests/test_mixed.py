@@ -228,3 +228,79 @@ def test_mover_velocity_estimate(mixed_cfg):
             coss.append(float(v @ mv / nv))
     assert np.median(dists) < 1.5, np.median(dists)
     assert np.median(coss) > 0.7, np.median(coss)
+
+
+def test_informed_birth_velocity_unit(mixed_cfg):
+    """Two-detection velocity init (cfg.birthVelocityInit): a measurement
+    matched to a previous-step measurement gets velocity (p - p_prev)/dt
+    with the clamped two-point variance; unmatched gets the zero-mean
+    covVxBirth prior."""
+    cfg = mixed_cfg.replace(birthVelocityInit=True, birthVelMax=5.0)
+    dt = jnp.float32(1.0)
+    pose = jnp.zeros((2, 6), jnp.float32)
+    # previous measurement world anchors straight from the converter
+    zp_rb = jnp.array([[5.0, 0.0], [0.0, 0.0]], jnp.float32)
+    zp_valid = jnp.array([True, False])
+    zw_prev = U4.prev_measurement_world(pose, zp_rb, zp_valid)
+    np.testing.assert_allclose(np.asarray(zw_prev[0, 0]), [5.0, 0.0],
+                               atol=1e-6)
+    # current: one measurement 0.5 m further out (matched), one far off
+    # to the side (no previous neighbor within birthVelMax*dt)
+    z_rb = jnp.array([[5.5, 0.0], [8.0, 1.2]], jnp.float32)
+    z_valid = jnp.array([True, True])
+    vx, vy, var_v = U4.informed_birth_velocity(
+        pose, z_rb, z_valid, zw_prev, zp_valid, dt, cfg)
+    np.testing.assert_allclose(np.asarray(vx[:, 0]), 0.5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vy[:, 0]), 0.0, atol=1e-5)
+    # matched variance: clamped to [0.25*covVxBirth, covVxBirth]
+    v0 = float(var_v[0, 0])
+    assert 0.25 * cfg.covVxBirth - 1e-6 <= v0 <= cfg.covVxBirth + 1e-6
+    # unmatched: zero mean, prior variance
+    assert float(vx[0, 1]) == 0.0 and float(vy[0, 1]) == 0.0
+    assert float(var_v[0, 1]) == pytest.approx(cfg.covVxBirth)
+    # birth channels consume the init
+    bm, bc = U4.birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg,
+                                vel=(vx, vy, var_v))
+    np.testing.assert_allclose(np.asarray(bm[2][:, 0]), 0.5, atol=1e-5)
+    assert float(bc[7][0, 0]) == pytest.approx(v0)
+
+
+def test_birth_velocity_init_e2e(mixed_cfg):
+    """End-to-end: birthVelocityInit=True runs through run_scan (z_prev
+    threading + shotgun expansion) and yields a finite dynamic map whose
+    strongest feature tracks the mover."""
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import run_scan
+
+    cfg = mixed_cfg.replace(
+        n_particles=16, maxFeatures=16, maxMeasurements=4,
+        nPredictParticles=2, birthVelocityInit=True,
+        clutterRate=1.0, x0=0.0, y0=0.0, yaw0=0.0)
+    rng = np.random.default_rng(5)
+    T = 20
+    mover0 = np.array([6.0, -3.0])
+    mv = np.array([0.0, 0.3])
+    M = cfg.maxMeasurements
+    rb = np.zeros((T, M, 2), np.float32)
+    valid = np.zeros((T, M), bool)
+    for t in range(T):
+        pos = mover0 + mv * t * cfg.dt
+        r = np.linalg.norm(pos)
+        b = np.arctan2(pos[1], pos[0])
+        rb[t, 0] = [r + rng.normal(0, 0.2), b + rng.normal(0, 0.01)]
+        valid[t, 0] = True
+    state = SlamState.create(cfg)
+    zs = Measurements(rb=jnp.asarray(rb),
+                      label=jnp.zeros((T, M), jnp.int32),
+                      valid=jnp.asarray(valid))
+    ctrl = jnp.zeros((T, 2), jnp.float32)
+    dts = jnp.full((T,), cfg.dt, jnp.float32)
+    final, _ = run_scan(state, jax.random.PRNGKey(1), ctrl, zs, dts, cfg, T)
+    w4 = np.asarray(final.map_dynamic.w)
+    assert np.isfinite(w4).all()
+    p = int(np.argmax(np.asarray(final.log_weights)))
+    assert w4[p].sum() > 0.2
+    best = int(np.argmax(w4[p]))
+    m4 = np.asarray(final.map_dynamic.mean[p, best])
+    target = mover0 + mv * (T - 1) * cfg.dt
+    assert np.linalg.norm(m4[:2] - target) < 3.0, (m4, target)
