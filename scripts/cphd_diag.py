@@ -47,6 +47,14 @@ def main():
     cfg = load_config("cfg/ackerman_synth.cfg").replace(
         n_particles=1024, filterType=1, maxCardinality=127,
         gateBirths=True, gateThreshold=9.0, mapEstimate=2)
+    # key=value overrides after T, e.g. resampleThresh=0 gateBirths=0
+    tag = ""
+    for kv in sys.argv[2:]:
+        k, v = kv.split("=")
+        cur = getattr(cfg, k)
+        cast = type(cur) if cur is not None else float
+        cfg = cfg.replace(**{k: cast(float(v))})
+        tag += f"_{k}{v}"
 
     final, poses, ms_step, la = run_tpu(cfg, ms, noisy, T, with_log=True)
 
@@ -88,7 +96,7 @@ def main():
              & (np.abs(bt) <= cfg.maxBearing))
     n_fov = fov_t.sum(1).astype(float)
 
-    n_meas = np.array([len(m) for m in ms[:T]], float)
+    n_meas = np.array([len(m.ranges) for m in ms[:T]], float)
 
     out = dict(T=T, ms_per_step=ms_step,
                e_n=e_n.tolist(), n_fov=n_fov.tolist(),
@@ -98,7 +106,7 @@ def main():
                err_final=float(abs(e_n[-1] - n_fov[-1])),
                err_mean=float(np.abs(e_n - n_fov).mean()))
     os.makedirs("results", exist_ok=True)
-    with open("results/cphd_diag.json", "w") as f:
+    with open(f"results/cphd_diag{tag}.json", "w") as f:
         json.dump(out, f, indent=1)
 
     print(f"ms/step {ms_step:.2f}")
@@ -120,8 +128,8 @@ def main():
         ax.set_xlabel("time step")
         ax.legend(fontsize=8)
         fig.tight_layout()
-        fig.savefig("results/cphd_diag.png", dpi=110)
-        print("wrote results/cphd_diag.png")
+        fig.savefig(f"results/cphd_diag{tag}.png", dpi=110)
+        print(f"wrote results/cphd_diag{tag}.png")
     except Exception as e:  # pragma: no cover
         print("plot skipped:", e)
 

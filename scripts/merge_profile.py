@@ -38,31 +38,27 @@ def timeit(name, fn, *args, reps=5):
     return ms, out
 
 
-def main():
-    from bench import make_stress_inputs
+def dense_config():
+    """EXACTLY bench.py's dense config (same jit cache keys -> compiles
+    come from /tmp/jaxcache, same steady-state pool statistics)."""
     from phdslam_tpu.config import load_config
-    from phdslam_tpu.filter import update as U
-    from phdslam_tpu.filter.state import Measurements, SlamState
-    from phdslam_tpu.filter.step import slam_step
-    from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
-    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
-    from phdslam_tpu.ops.gm import fast_prune_renormalize
-
-    # EXACTLY bench.py's dense config (same jit cache keys -> compiles
-    # come from /tmp/jaxcache, same steady-state pool statistics)
-    cfg = load_config("cfg/ackerman_synth.cfg").replace(
+    return load_config("cfg/ackerman_synth.cfg").replace(
         n_particles=8192, maxFeatures=512, maxMeasurements=64,
         y0=0.0, birthWeight=1e-3, clutterRate=50.0)
-    P, F, M = cfg.n_particles, cfg.maxFeatures, cfg.maxMeasurements
-    print(f"dense config: P={P} F={F} M={M} "
-          f"minw={cfg.minFeatureWeight} minSep={cfg.minSeparation} "
-          f"mergeMinW={cfg.mergeMinWeight}")
 
-    rb, valid, controls = make_stress_inputs(cfg, 8)
+
+def steady_state(cfg, warm_steps=6):
+    """Run the stress scenario to a steady-state map; returns
+    (pose, gm, z_rb, z_labels, z_valid) for the next step's inputs."""
+    from bench import make_stress_inputs
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import slam_step
+    M = cfg.maxMeasurements
+    rb, valid, controls = make_stress_inputs(cfg, warm_steps + 2)
     state = SlamState.create(cfg)
     key = jax.random.PRNGKey(0)
     labels = jnp.zeros((M,), jnp.int32)
-    for t in range(6):
+    for t in range(warm_steps):
         key, sk = jax.random.split(key)
         z = Measurements(rb=jnp.asarray(rb[t]), label=labels,
                          valid=jnp.asarray(valid[t]))
@@ -70,33 +66,21 @@ def main():
         state, _ = slam_step(state, sk, u, z, jnp.float32(cfg.dt),
                              jnp.asarray(t > 0), cfg)
     _ = np.asarray(state.log_weights)
-    pose, gm = state.pose, state.map_static
-    z_rb = jnp.asarray(rb[6])
-    z_valid = jnp.asarray(valid[6])
-    nz = np.asarray((gm.w > 0).sum(axis=1))
-    print(f"steady-state map occupancy: mean {nz.mean():.0f} "
-          f"max {nz.max()} of {F}")
+    return (state.pose, state.map_static, jnp.asarray(rb[warm_steps]),
+            labels, jnp.asarray(valid[warm_steps]))
 
-    # --- stage timings -------------------------------------------------
-    pre_j = jax.jit(U.kalman_preupdate, static_argnames=("cfg",))
-    ms_pre, pre = timeit("kalman_preupdate", pre_j, pose, gm, cfg)
 
-    k1 = 8
-    sel_j = jax.jit(lambda zz, pp, gg: fused_update_select(
-        zz, pp, gg, cfg, k1=k1))
-    ms_sel, sel = timeit("fused_update_select", sel_j, z_rb, pre, gm)
-
-    upd_j = jax.jit(U.phd_update_static, static_argnames=("cfg",))
-    ms_upd, res = timeit("phd_update_static (full, exact)", upd_j, pose,
-                         gm, z_rb, labels, z_valid, cfg)
-
-    # reconstruct the merge candidate pool exactly as update.py does
+def build_pool(cfg, pose, gm, pre, sel, z_rb, z_valid, k1):
+    """Reconstruct the merge candidate pool exactly as
+    phdslam_tpu/filter/update.py assembles it (non-detect | selected
+    detections | births). Returns the six channel arrays [P, K]."""
+    P = pose.shape[0]
+    M = z_rb.shape[0]
     (sum_exp, w_sel, mx_sel, my_sel, u00_sel, u01_sel, u11_sel,
      lpw_sel, compat) = sel
     sum_exp = jnp.where(z_valid[None, :], sum_exp, 0.0)
     w_selm = jnp.where(z_valid[None, :, None], w_sel, 0.0)
     minw = cfg.minFeatureWeight
-    n_measure = jnp.sum(z_valid)
     normalizer = cfg.clutterDensity + cfg.birthWeight + sum_exp
     in_mask = pre.rclass == 1
     pd_eff = jnp.where(in_mask, pre.pd, 0.0)
@@ -124,6 +108,41 @@ def main():
                   ct * st * var_rb - bdy * bdx * var_bb)
     cand_11 = cat(gm.c11, flat(u11_sel),
                   st * st * var_rb + bdx * bdx * var_bb)
+    return cand_w, cand_mx, cand_my, cand_00, cand_01, cand_11
+
+
+def main():
+    from phdslam_tpu.filter import update as U
+    from phdslam_tpu.kernels.preupdate_pallas import fused_update_select
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+    from phdslam_tpu.ops.gm import fast_prune_renormalize
+
+    cfg = dense_config()
+    P, F, M = cfg.n_particles, cfg.maxFeatures, cfg.maxMeasurements
+    print(f"dense config: P={P} F={F} M={M} "
+          f"minw={cfg.minFeatureWeight} minSep={cfg.minSeparation} "
+          f"mergeMinW={cfg.mergeMinWeight}")
+
+    pose, gm, z_rb, labels, z_valid = steady_state(cfg)
+    nz = np.asarray((gm.w > 0).sum(axis=1))
+    print(f"steady-state map occupancy: mean {nz.mean():.0f} "
+          f"max {nz.max()} of {F}")
+
+    # --- stage timings -------------------------------------------------
+    pre_j = jax.jit(U.kalman_preupdate, static_argnames=("cfg",))
+    ms_pre, pre = timeit("kalman_preupdate", pre_j, pose, gm, cfg)
+
+    k1 = 8
+    sel_j = jax.jit(lambda zz, pp, gg: fused_update_select(
+        zz, pp, gg, cfg, k1=k1))
+    ms_sel, sel = timeit("fused_update_select", sel_j, z_rb, pre, gm)
+
+    upd_j = jax.jit(U.phd_update_static, static_argnames=("cfg",))
+    ms_upd, res = timeit("phd_update_static (full, exact)", upd_j, pose,
+                         gm, z_rb, labels, z_valid, cfg)
+
+    (cand_w, cand_mx, cand_my, cand_00, cand_01,
+     cand_11) = build_pool(cfg, pose, gm, pre, sel, z_rb, z_valid, k1)
     cand_w = jax.block_until_ready(cand_w)
     K = cand_w.shape[1]
 

@@ -8,6 +8,9 @@ Measures, at both the dense-stress config and a typical config:
   - disparity_step
 Prints one line per measurement. Run on the real chip:
     PYTHONPATH=. python scripts/tpu_profile.py [--quick]
+
+The FLOP/bandwidth-denominated utilization table (achieved TFLOP/s and
+GB/s vs chip peaks) lives in scripts/utilization.py.
 """
 import os
 import sys

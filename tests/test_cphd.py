@@ -320,3 +320,54 @@ def test_cphd_conv_predict_e2e():
     err = np.linalg.norm(
         np.asarray(auxs.expected_pose)[-1, :2] - sc.traj[T - 1, :2])
     assert err < 1.5, err
+
+
+def test_cphd_poisson_prior_reduces_to_phd():
+    """With a Poisson predicted cardinality whose mean equals the in-range
+    intensity mass, Vo's CPHD reduces EXACTLY to the PHD filter (the
+    analytic identity behind the reference's per-step Poisson prior
+    rebuild, .bak:2473-2497). A repeatedly-detected feature must therefore
+    follow the identical confirmation trajectory through both update paths
+    — pinning the whole ESF/Psi machinery against the closed-form PHD
+    normalizer, including with clutter-like extra measurements present."""
+    from phdslam_tpu.filter import update as U
+    from phdslam_tpu.filter.state import Gaussian2DMixture
+
+    cfg = load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=1, maxFeatures=8, maxMeasurements=8,
+        filterType=1, maxCardinality=63, gateBirths=False,
+        birthWeight=1e-9, usePallas=False)
+    consts = C.make_constants(cfg)
+    pose = jnp.zeros((1, 6), jnp.float32)
+    M = cfg.maxMeasurements
+    var_r = (cfg.stdRange * cfg.birthNoiseFactor) ** 2
+    var_b = (cfg.stdBearing * cfg.birthNoiseFactor) ** 2
+
+    def fresh_map(w):
+        z = jnp.zeros((1, 8), jnp.float32)
+        return Gaussian2DMixture(
+            w=z.at[0, 0].set(w), mx=z.at[0, 0].set(5.0), my=z,
+            c00=z.at[0, 0].set(var_r), c01=z,
+            c11=z.at[0, 0].set(25.0 * var_b))
+
+    for n_extra in (0, 4):
+        z_rb = jnp.zeros((M, 2), jnp.float32).at[0, 0].set(5.0)
+        for i in range(n_extra):
+            z_rb = z_rb.at[1 + i, 0].set(6.0 + i).at[1 + i, 1].set(
+                0.5 + 0.1 * i)
+        z_valid = jnp.arange(M) < (1 + n_extra)
+        z_label = jnp.zeros((M,), jnp.int32)
+        gm_p = fresh_map(0.015)
+        gm_c = fresh_map(0.015)
+        ncard = cfg.maxCardinality + 1
+        cn = jnp.full((1, ncard), -np.log(ncard), jnp.float32)
+        for t in range(6):
+            res = U.phd_update_static(pose, gm_p, z_rb, z_label, z_valid,
+                                      cfg.replace(filterType=0))
+            gm_p = res[0] if isinstance(res, tuple) else res.map
+            gm_c, cn, _ = C.cphd_update(pose, gm_c, cn, z_rb, z_label,
+                                        z_valid, cfg, consts)
+            wp = float(np.asarray(gm_p.w).max())
+            wc = float(np.asarray(gm_c.w).max())
+            assert abs(wp - wc) < 2e-3 + 0.02 * wp, (t, n_extra, wp, wc)
+        assert wp > 0.8, wp  # the feature actually confirmed
