@@ -886,6 +886,108 @@ def main():
               if any("CPHD" in k for k in sp) else []),
             ""]
 
+    # ---------- round-4 evidence sections (cached artifacts) ----------
+    if os.path.exists("results/cphd_dwell.json"):
+        with open("results/cphd_dwell.json") as f:
+            dw = json.load(f)
+        diag2 = {}
+        if os.path.exists("results/cphd_diag2.json"):
+            with open("results/cphd_diag2.json") as f:
+                diag2 = json.load(f)
+        results["cphd_cardinality"] = dict(
+            dwell_err_mean=dw["dwell_err_mean"],
+            dwell_e_n=dw["dwell_e_n_mean"], dwell_n_fov=dw["dwell_n_fov"])
+        tail_stats = {}
+        for fam in ("cphd", "phd"):
+            rows = diag2.get(fam, [])[-30:]
+            if rows:
+                tail_stats[fam] = (
+                    float(np.mean([r["mean"] for r in rows])),
+                    float(np.mean([r["max"] for r in rows])))
+        lines += [
+            "## CPHD cardinality: root cause of the end-of-run E[n]~0 "
+            "(scripts/cphd_diag.py, cphd_diag2.py, cphd_dwell.py)",
+            "",
+            "- E[n] equals the in-range-submap intensity mass at every "
+            "step of the shipped-Ackerman run (results/cphd_diag.png) — "
+            "the posterior is exactly consistent; the submap mass is "
+            "what stays near zero.",
+            "- The mechanism is scenario-inherent, not CPHD-specific: "
+            "the PHD filter's in-FOV intensity mass on the same data is "
+            "equally ~0"
+            + (f" (last-30-step weighted means: PHD "
+               f"{tail_stats['phd'][0]:.2f}, CPHD "
+               f"{tail_stats['cphd'][0]:.2f}; per-particle maxima "
+               f"{tail_stats['phd'][1]:.2f} / {tail_stats['cphd'][1]:.2f})"
+               if len(tail_stats) == 2 else "")
+            + ". A forward-moving vehicle's FOV is always unconfirmed "
+            "territory; at clutter_rate=20 a landmark needs ~5 "
+            "consecutive detections to confirm (micro-trajectory in "
+            "tests/test_cphd.py) and the FOV dwell is shorter, so "
+            "confirmed mass lives behind the vehicle (the out-of-range "
+            "passthrough), which E[n] — a submap statistic — correctly "
+            "excludes. Disabling resampling, disabling birth gating, and "
+            "10x birth weight all leave the curve unchanged.",
+            f"- Converse demonstration: when the vehicle holds for "
+            f"{dw['pause'][1]} steps (pause scenario), E[n] converges to "
+            f"the true in-FOV count — settled-window mean E[n] "
+            f"{dw['dwell_e_n_mean']} vs n_fov {dw['dwell_n_fov']}, "
+            f"|err| mean {dw['dwell_err_mean']} (bar: <= ~2-3; "
+            f"results/cphd_dwell.png).",
+            "- The update math itself is pinned by a new invariant test: "
+            "with a Poisson prior the CPHD update must reduce EXACTLY to "
+            "the PHD update — it does, to 4 decimals, through the full "
+            "ESF/Psi machinery (tests/test_cphd.py::"
+            "test_cphd_poisson_prior_reduces_to_phd).",
+            ""]
+    if os.path.exists("results/ackerman_knobs.json"):
+        with open("results/ackerman_knobs.json") as f:
+            kn = json.load(f)
+        results["ackerman_knobs"] = kn
+        lines += [
+            "## Shipped-Ackerman error vs the reference's own knobs "
+            "(scripts/ackerman_knobs.py)",
+            f"{kn['n_seeds']} seeds x {kn['T']} steps, shipped "
+            "measurements_synth_ackerman.txt:",
+            "",
+            "| variant | pose RMSE [m] | final OSPA | ms/step |",
+            "|---|---|---|---|"]
+        lines += [f"| {r['name']} | {r['pose_rmse_mean']} "
+                  f"| {r['ospa_mean']} | {r['ms_per_step']} |"
+                  for r in kn["rows"]]
+        lines += [""]
+    if os.path.exists("results/utilization.json"):
+        with open("results/utilization.json") as f:
+            ut = json.load(f)
+        results["utilization"] = ut
+        lines += [
+            "## Roofline utilization (scripts/utilization.py, dense "
+            "config, v5e peaks: "
+            f"{ut['peak_flops']/1e12:.1f} TFLOP/s VPU f32, "
+            f"{ut['peak_bw']/1e9:.0f} GB/s HBM)",
+            "",
+            "| stage | ms | GFLOP/s | % VPU | GB/s | % HBM | arith. "
+            "intensity | % of roofline (bound) |",
+            "|---|---|---|---|---|---|---|---|"]
+        lines += [f"| {r['name']} | {r['ms']} | {r['gflops']} "
+                  f"| {r['pct_vpu_peak']} | {r['gb_per_s']} "
+                  f"| {r['pct_hbm_peak']} | {r['arithmetic_intensity']} "
+                  f"| {r['pct_of_roofline']} ({r['bound']}) |"
+                  for r in ut["stages"]]
+        lines += [
+            "",
+            "- Both hot stages are compute-bound (arithmetic intensity "
+            "far above the ~4.8 FLOP/B ridge): the fused update keeps "
+            "the [P,F,M] cross-product in VMEM so HBM sees only the map "
+            "channels once each way, and the merge re-streams its VMEM-"
+            "resident pool once per greedy trip. FLOP numerators are "
+            "XLA cost-analysis counts of the identical forced-XLA math "
+            "(update) and trip-count-based op counts (merge); achieved "
+            "%VPU under-counts the merge's real vector-unit occupancy "
+            "because masked lanes and cross-lane reduction stages do "
+            "not count as algorithmic FLOPs.",
+            ""]
+
     with open("RESULTS.md", "w") as f:
         f.write("\n".join(lines))
     with open("results.json", "w") as f:

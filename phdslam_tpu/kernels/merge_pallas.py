@@ -90,6 +90,9 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         r11 = pick(c11)[:, None]
         dx = rmx - mx
         dy = rmy - my
+        dx2 = dx * dx
+        dxy = dx * dy
+        dy2 = dy * dy
         if metric == 1:
             # Hellinger (device_math.cuh:388-413) — same arithmetic as the
             # XLA path in ops/gm.py
@@ -113,7 +116,7 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
             # division-free threshold: quad/det < sep with det > 0 (PSD
             # average) is exactly quad < sep * det — drops a [tp, K]
             # divide per pick
-            quad = (dx * dx * a11 - 2.0 * dx * dy * a01 + dy * dy * a00)
+            quad = (dx2 * a11 - 2.0 * dxy * a01 + dy2 * a00)
             near = quad < min_separation * det
         sel = (near & (w_rem > 0.0)) | onehot
         sel = sel & (mval > 0.0)[:, None]
@@ -128,9 +131,9 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         # note below)
         mcx = jnp.sum(sw * dx, axis=1) * inv                 # [tp]
         mcy = jnp.sum(sw * dy, axis=1) * inv
-        n00 = jnp.sum(sw * (c00 + dx * dx), axis=1) * inv - mcx * mcx
-        n01 = jnp.sum(sw * (c01 + dx * dy), axis=1) * inv - mcx * mcy
-        n11 = jnp.sum(sw * (c11 + dy * dy), axis=1) * inv - mcy * mcy
+        n00 = jnp.sum(sw * (c00 + dx2), axis=1) * inv - mcx * mcx
+        n01 = jnp.sum(sw * (c01 + dxy), axis=1) * inv - mcx * mcy
+        n11 = jnp.sum(sw * (c11 + dy2), axis=1) * inv - mcy * mcy
         # de-center; exhausted rows (wsum = 0) emit the zero/identity
         # pre-fill values, like the XLA path
         mux = jnp.where(wsum > 0.0, rmx[:, 0] - mcx, 0.0)
@@ -181,16 +184,33 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_separation", "max_out", "tile_p",
-                                    "interpret", "metric", "block"))
+                                    "interpret", "metric", "block",
+                                    "sort_rows"))
 def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                         max_out: int, tile_p: int = 128,
                         interpret: bool = False, metric: int = 0,
-                        block: int = 0):
+                        block: int = 0, sort_rows: bool = False):
     """Drop-in for ops.gm.greedy_merge_channels (metric 0 or 1).
 
     w..c11: [P, K] candidate channels; returns six [P, max_out] channels.
     Requires P % tile_p == 0 (callers gate on this plus the TPU backend).
-    """
+
+    sort_rows: order particles by candidate count before tiling (and
+    invert the permutation on the outputs). Each grid tile runs until its
+    SLOWEST particle finishes, so mixing a 400-cluster particle into a
+    tile of 150-cluster ones makes all 128 pay 400 trips; grouping
+    similar workloads cuts total trips toward sum-of-tile-means. Exact:
+    rows are independent, so any row order yields identical per-row
+    results (asserted in tests/test_pallas.py)."""
+    if sort_rows:
+        order = jnp.argsort(jnp.sum((w > 0.0).astype(jnp.int32), axis=1))
+        inv = jnp.argsort(order)
+        outs = greedy_merge_pallas(
+            w[order], mx[order], my[order], c00[order], c01[order],
+            c11[order], min_separation, max_out, tile_p=tile_p,
+            interpret=interpret, metric=metric, block=block,
+            sort_rows=False)
+        return tuple(o[inv] for o in outs)
     (w, mx, my, c00, c01, c11), P0 = _pad_rows(
         [w, mx, my, c00, c01, c11], tile_p)
     P, K = w.shape

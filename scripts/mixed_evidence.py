@@ -37,6 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUICK = "--quick" in sys.argv
 SMOKE = "--smoke" in sys.argv   # tiny shapes: code-path check on 1-core CPU
+INFORMED = "--informed" in sys.argv  # birthVelocityInit=True variant
+                                     # (two-detection velocity init,
+                                     # VERDICT r3 item 6); results recorded
+                                     # under the "mixed_informed" key
+# extra cfg overrides: --set key=value (repeatable); appended to the
+# output key so variants don't clobber each other
+OVERRIDES = {}
+for _i, _a in enumerate(sys.argv):
+    if _a == "--set" and _i + 1 < len(sys.argv):
+        _k, _v = sys.argv[_i + 1].split("=")
+        OVERRIDES[_k] = float(_v)
 
 MOVER0 = np.array([[13.0, 9.0], [-9.0, 12.0], [10.0, -6.0]])
 MOVER_V = np.array([[-0.22, -0.10], [0.20, -0.12], [-0.14, 0.18]])
@@ -67,8 +78,14 @@ def main():
         maxMeasurements=16 if SMOKE else 64,
         featureModel=2, birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
         stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0,
+        birthVelocityInit=INFORMED,
         x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
         yaw0=float(sc.traj[0, 2]))
+    if OVERRIDES:
+        cast = {k: type(getattr(cfg, k))(v) for k, v in OVERRIDES.items()}
+        cfg = cfg.replace(**cast)
+    out_key = ("mixed_informed" if INFORMED else "mixed") + "".join(
+        f"_{k}{v:g}" for k, v in sorted(OVERRIDES.items()))
 
     pose_err = np.zeros((n_runs, T))
     mover_dist = []
@@ -233,16 +250,24 @@ def main():
     print("paused-dwell leg:", json.dumps(paused), flush=True)
 
     # ---- CPU-oracle leg on run 0's stream ----
-    from phdslam_tpu import reference_cpu as R
+    # Skipped for the informed variant: the oracle doesn't implement the
+    # two-detection velocity init, and the informed-vs-baseline comparison
+    # is TPU-path-internal (the baseline's oracle anchor stands).
     rng = np.random.default_rng(500)
     controls, meas, truth = generate_mixed_run(
         rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01))
     Tc = 4 if SMOKE else 20 if QUICK else 60
     cfg_cpu = cfg.replace(n_particles=16)
-    t0 = time.time()
-    poses_cpu = R.run(cfg_cpu, controls[:Tc - 1], meas[:Tc], seed=2)
-    cpu_ms = (time.time() - t0) / Tc * 1000
-    cpu_err = np.linalg.norm(poses_cpu[:, :2] - sc.traj[:Tc, :2], axis=1)
+    if INFORMED or OVERRIDES:
+        cpu_ms = float("nan")
+        cpu_err = np.full((Tc,), np.nan)
+    else:
+        from phdslam_tpu import reference_cpu as R
+        t0 = time.time()
+        poses_cpu = R.run(cfg_cpu, controls[:Tc - 1], meas[:Tc], seed=2)
+        cpu_ms = (time.time() - t0) / Tc * 1000
+        cpu_err = np.linalg.norm(poses_cpu[:, :2] - sc.traj[:Tc, :2],
+                                 axis=1)
 
     # ---- envelope plot ----
     import matplotlib
@@ -263,10 +288,13 @@ def main():
     fig.tight_layout()
     os.makedirs("results", exist_ok=True)
     if not SMOKE:
-        fig.savefig("results/mixed_envelopes.png", dpi=110)
+        suffix = out_key[len("mixed"):]
+        fig.savefig(f"results/mixed_envelopes{suffix}.png", dpi=110)
 
     md = np.asarray(mover_dist)
-    out = dict(mixed=dict(
+    out = {}
+    out[out_key] = dict(
+        birth_velocity_init=INFORMED, overrides=OVERRIDES,
         n_runs=n_runs, steps=T, n_particles=cfg.n_particles,
         pose_mean=round(float(pose_err.mean()), 3),
         pose_late_mean=round(float(pose_err[:, T // 2:].mean()), 3),
@@ -293,9 +321,9 @@ def main():
         paused_dwell=paused,
         dyn_mass_mean=round(float(dyn_mass.mean()), 2),
         cpu_n_particles=cfg_cpu.n_particles, cpu_steps=Tc,
-        cpu_ms_per_step=round(cpu_ms, 1),
-        cpu_pose_mean=round(float(cpu_err.mean()), 3),
-        tpu_pose_mean_cpu_window=round(float(pose_err[0, :Tc].mean()), 3)))
+        cpu_ms_per_step=None if (INFORMED or OVERRIDES) else round(cpu_ms, 1),
+        cpu_pose_mean=None if (INFORMED or OVERRIDES) else round(float(cpu_err.mean()), 3),
+        tpu_pose_mean_cpu_window=round(float(pose_err[0, :Tc].mean()), 3))
     if not SMOKE:
         path = "results/round3_evidence.json"
         data = {}

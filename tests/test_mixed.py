@@ -232,9 +232,9 @@ def test_mover_velocity_estimate(mixed_cfg):
 
 def test_informed_birth_velocity_unit(mixed_cfg):
     """Two-detection velocity init (cfg.birthVelocityInit): a measurement
-    matched to a previous-step measurement gets velocity (p - p_prev)/dt
-    with the clamped two-point variance; unmatched gets the zero-mean
-    covVxBirth prior."""
+    matched to a previous-step measurement gets the BAYESIAN FUSION of the
+    zero-mean covVxBirth prior with the two-point velocity observation
+    (p - p_prev)/dt; unmatched gets the zero-mean covVxBirth prior."""
     cfg = mixed_cfg.replace(birthVelocityInit=True, birthVelMax=5.0)
     dt = jnp.float32(1.0)
     pose = jnp.zeros((2, 6), jnp.float32)
@@ -245,23 +245,31 @@ def test_informed_birth_velocity_unit(mixed_cfg):
     np.testing.assert_allclose(np.asarray(zw_prev[0, 0]), [5.0, 0.0],
                                atol=1e-6)
     # current: one measurement 0.5 m further out (matched), one far off
-    # to the side (no previous neighbor within birthVelMax*dt)
-    z_rb = jnp.array([[5.5, 0.0], [8.0, 1.2]], jnp.float32)
+    # to the side (no previous neighbor within the match radius)
+    z_rb = jnp.array([[5.5, 0.0], [40.0, 1.2]], jnp.float32)
     z_valid = jnp.array([True, True])
     vx, vy, var_v = U4.informed_birth_velocity(
         pose, z_rb, z_valid, zw_prev, zp_valid, dt, cfg)
-    np.testing.assert_allclose(np.asarray(vx[:, 0]), 0.5, atol=1e-5)
+    # fusion: gain = prior / (prior + 2 sigma_p^2 / dt^2)
+    var_p = cfg.stdRange ** 2 + (5.5 * cfg.stdBearing) ** 2
+    var_obs = 2.0 * var_p
+    gain = cfg.covVxBirth / (cfg.covVxBirth + var_obs)
+    np.testing.assert_allclose(np.asarray(vx[:, 0]), gain * 0.5,
+                               rtol=1e-4)
     np.testing.assert_allclose(np.asarray(vy[:, 0]), 0.0, atol=1e-5)
-    # matched variance: clamped to [0.25*covVxBirth, covVxBirth]
+    # matched variance: the fusion posterior, strictly below the prior
     v0 = float(var_v[0, 0])
-    assert 0.25 * cfg.covVxBirth - 1e-6 <= v0 <= cfg.covVxBirth + 1e-6
+    assert v0 == pytest.approx(
+        max(gain * var_obs, 0.1 * cfg.covVxBirth), rel=1e-4)
+    assert v0 < cfg.covVxBirth
     # unmatched: zero mean, prior variance
     assert float(vx[0, 1]) == 0.0 and float(vy[0, 1]) == 0.0
     assert float(var_v[0, 1]) == pytest.approx(cfg.covVxBirth)
     # birth channels consume the init
     bm, bc = U4.birth4_channels(pose[:, None, :], z_rb[None, :, :], cfg,
                                 vel=(vx, vy, var_v))
-    np.testing.assert_allclose(np.asarray(bm[2][:, 0]), 0.5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bm[2][:, 0]), gain * 0.5,
+                               rtol=1e-4)
     assert float(bc[7][0, 0]) == pytest.approx(v0)
 
 

@@ -519,3 +519,31 @@ def test_select_dead_output_elision(tiny_cfg, rng):
                                       np.asarray(skim[i]))
     assert not np.asarray(skim[8]).any()        # compat zero-filled
     assert not np.asarray(skim[7]).any()        # lpw_sel zero-filled
+
+
+def test_merge_pallas_sort_rows_exact_permutation(rng):
+    """sort_rows groups similar-workload particles per tile and must be a
+    pure row permutation: outputs identical to the unsorted kernel (rows
+    are independent), including with heterogeneous candidate counts that
+    make the sort actually reorder."""
+    from phdslam_tpu.kernels.merge_pallas import greedy_merge_pallas
+
+    P, K, F = 256, 96, 48
+    # wildly varying candidate counts per row
+    counts = rng.integers(1, K, size=(P,))
+    w = rng.uniform(0.01, 2.0, (P, K))
+    w = w * (np.arange(K)[None, :] < counts[:, None])
+    mx = rng.uniform(-20, 20, (P, K))
+    my = rng.uniform(-20, 20, (P, K))
+    c00 = rng.uniform(0.05, 1.5, (P, K))
+    c11 = rng.uniform(0.05, 1.5, (P, K))
+    c01 = 0.4 * np.sqrt(c00 * c11) * rng.uniform(-1, 1, (P, K))
+    args = [jnp.asarray(a, jnp.float32) for a in (w, mx, my, c00, c01, c11)]
+
+    base = greedy_merge_pallas(*args, 4.0, F, interpret=True)
+    srt = greedy_merge_pallas(*args, 4.0, F, interpret=True,
+                              sort_rows=True)
+    for name, g, r in zip(("w", "mx", "my", "c00", "c01", "c11"), srt,
+                          base):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=name)
