@@ -127,7 +127,8 @@ def generate_run(rng: np.random.Generator, sc: Scenario,
 
 def generate_mixed_run(rng: np.random.Generator, sc: Scenario,
                        mover0: np.ndarray, mover_v: np.ndarray,
-                       control_noise=(2.0, 0.0873)):
+                       control_noise=(2.0, 0.0873),
+                       return_labels: bool = False):
     """Monte-Carlo run for the MIXED feature model: the static-landmark
     measurement stream of `generate_run` plus pd-thinned detections of
     constant-velocity moving targets (unlabeled — the filter has to sort
@@ -135,16 +136,21 @@ def generate_mixed_run(rng: np.random.Generator, sc: Scenario,
     src/phdfilter.cu:2501-2503).
 
     mover0 [K, 2] initial positions; mover_v [K, 2] velocities.
-    Returns (controls [T,2], measurement sets, mover truth [T+1, K, 2])."""
+    Returns (controls [T,2], measurement sets, mover truth [T+1, K, 2]);
+    with return_labels, appends a list of per-step int label arrays
+    (0 = static/clutter, 1 = mover detection) for the reference's LABELED
+    mixed mode (label gating, src/phdfilter.cu:1913-1921,2501-2503)."""
     t_len = sc.controls_true.shape[0]
     controls = sc.controls_true + rng.normal(0.0, control_noise, (t_len, 2))
     meas = []
+    labels = []
     truth = np.zeros((t_len + 1, mover0.shape[0], 2))
     for k in range(t_len + 1):
         pose = sc.traj[k]
         pos = mover0 + mover_v * (k * sc.dt)
         truth[k] = pos
         z = generate_measurements(rng, sc, pose)
+        lab = np.zeros((len(z),), np.int32)
         d = pos - pose[:2]
         r = np.linalg.norm(d, axis=1)
         b = np.arctan2(d[:, 1], d[:, 0]) - pose[2]
@@ -157,8 +163,13 @@ def generate_mixed_run(rng: np.random.Generator, sc: Scenario,
                 [r[det] + rng.normal(0.0, sc.std_range, det.sum()),
                  b[det] + rng.normal(0.0, sc.std_bearing, det.sum())],
                 axis=1)
-            z = np.concatenate([z, zm])[rng.permutation(len(z) + len(zm))]
+            perm = rng.permutation(len(z) + len(zm))
+            z = np.concatenate([z, zm])[perm]
+            lab = np.concatenate([lab, np.ones((len(zm),), np.int32)])[perm]
         meas.append(z)
+        labels.append(lab)
+    if return_labels:
+        return controls.astype(np.float32), meas, truth, labels
     return controls.astype(np.float32), meas, truth
 
 

@@ -50,7 +50,15 @@ def main():
     n_seeds = 1 if QUICK else 3
     base = load_config("cfg/ackerman_synth.cfg")
     rows = []
+    if os.path.exists("results/ackerman_knobs.json"):
+        with open("results/ackerman_knobs.json") as f:
+            prev = json.load(f)
+        if prev.get("T") == T and prev.get("n_seeds") == n_seeds:
+            rows = prev["rows"]       # resume: skip finished variants
+    done = {r["name"] for r in rows}
     for name, kw in VARIANTS[: 3 if QUICK else len(VARIANTS)]:
+        if name in done:
+            continue
         cfg = base.replace(**kw)
         rmses, ospas, steps_ms = [], [], []
         for seed in range(n_seeds):
@@ -73,10 +81,10 @@ def main():
         print(f"{name:22s} poseRMSE {row['pose_rmse_mean']:6.2f} m  "
               f"OSPA {row['ospa_mean']:5.2f}  {row['ms_per_step']:7.2f} "
               f"ms/step", flush=True)
-
-    os.makedirs("results", exist_ok=True)
-    with open("results/ackerman_knobs.json", "w") as f:
-        json.dump(dict(T=T, n_seeds=n_seeds, rows=rows), f, indent=1)
+        # incremental dump: tunnel compiles can outlive a driver timeout
+        os.makedirs("results", exist_ok=True)
+        with open("results/ackerman_knobs.json", "w") as f:
+            json.dump(dict(T=T, n_seeds=n_seeds, rows=rows), f, indent=1)
     print("wrote results/ackerman_knobs.json")
 
 

@@ -43,6 +43,10 @@ INFORMED = "--informed" in sys.argv  # birthVelocityInit=True variant
                                      # under the "mixed_informed" key
 # extra cfg overrides: --set key=value (repeatable); appended to the
 # output key so variants don't clobber each other
+LABELED = "--labeled" in sys.argv  # the reference's LABELED mixed mode:
+                                   # measurements carry static/dynamic
+                                   # labels and the update label-gates
+                                   # (src/phdfilter.cu:1913-1921)
 OVERRIDES = {}
 for _i, _a in enumerate(sys.argv):
     if _a == "--set" and _i + 1 < len(sys.argv):
@@ -78,36 +82,104 @@ def main():
         maxMeasurements=16 if SMOKE else 64,
         featureModel=2, birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
         stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0,
-        birthVelocityInit=INFORMED,
+        birthVelocityInit=INFORMED, labeledMeasurements=LABELED,
         x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
         yaw0=float(sc.traj[0, 2]))
     if OVERRIDES:
         cast = {k: type(getattr(cfg, k))(v) for k, v in OVERRIDES.items()}
         cfg = cfg.replace(**cast)
-    out_key = ("mixed_informed" if INFORMED else "mixed") + "".join(
-        f"_{k}{v:g}" for k, v in sorted(OVERRIDES.items()))
+    out_key = ("mixed_informed" if INFORMED else "mixed") \
+        + ("_labeled" if LABELED else "") + "".join(
+            f"_{k}{v:g}" for k, v in sorted(OVERRIDES.items()))
 
     pose_err = np.zeros((n_runs, T))
     mover_dist = []
     vel_cos = []
     settled_dist = []      # >= 4th consecutive in-FOV step: the filter has
     settled_cos = []       # had birth + a few detections to accumulate
+    settled_dist_rel = []  # settled distance in the MAP particle's own
+                           # frame (SE(2)-aligned): mixed-subsystem
+                           # quality with the SLAM pose error removed
+    settled_dist_any = []  # nearest dynamic feature with ANY weight
+                           # > 0.01 (selection threshold removed):
+                           # separates 'mover not tracked' from 'tracked
+                           # but below the existence threshold'
+    settled_nearest_w = []  # weight of that nearest feature
+    oracle_settled = []    # CRLB-style bound: known-association Kalman at
+                           # the TRUE vehicle pose, scored on the same
+                           # settled steps — the ceiling ANY filter can
+                           # reach on these measurement streams
     dyn_mass = np.zeros(n_runs)
     ms_per_step = []
+
+    def oracle_track(meas, truth, T):
+        """Per-mover 4-state CV Kalman with oracle association (nearest
+        measurement to the TRUE position within a 3-sigma gate, world
+        frame at the TRUE pose). Returns est [T, K, 2] (nan before the
+        first detection)."""
+        Kn = truth.shape[1]
+        est = np.full((T, Kn, 2), np.nan)
+        x = [None] * Kn
+        Pm = [None] * Kn
+        dtv = sc.dt
+        F = np.eye(4)
+        F[0, 2] = F[1, 3] = dtv
+        q = 1e-4          # movers are exactly CV; tiny for conditioning
+        Q = np.diag([0.25 * q * dtv ** 4] * 2 + [q * dtv ** 2] * 2)
+        H = np.zeros((2, 4))
+        H[0, 0] = H[1, 1] = 1.0
+        for t in range(T):
+            vp = sc.traj[t]
+            z = meas[t]
+            if len(z):
+                zw = np.stack(
+                    [vp[0] + z[:, 0] * np.cos(vp[2] + z[:, 1]),
+                     vp[1] + z[:, 0] * np.sin(vp[2] + z[:, 1])], axis=1)
+            for k in range(Kn):
+                if x[k] is not None:
+                    x[k] = F @ x[k]
+                    Pm[k] = F @ Pm[k] @ F.T + Q
+                pos = truth[t, k]
+                r_true = np.linalg.norm(pos - vp[:2])
+                var_p = (cfg.stdRange ** 2
+                         + (r_true * cfg.stdBearing) ** 2)
+                if len(z):
+                    dd = np.linalg.norm(zw - pos, axis=1)
+                    j = int(np.argmin(dd))
+                    if dd[j] < 3.0 * np.sqrt(var_p):
+                        R = var_p * np.eye(2)
+                        if x[k] is None:
+                            x[k] = np.array([zw[j, 0], zw[j, 1], 0., 0.])
+                            Pm[k] = np.diag([var_p, var_p,
+                                             cfg.covVxBirth,
+                                             cfg.covVyBirth])
+                        else:
+                            S = H @ Pm[k] @ H.T + R
+                            G = Pm[k] @ H.T @ np.linalg.inv(S)
+                            x[k] = x[k] + G @ (zw[j] - H @ x[k])
+                            Pm[k] = (np.eye(4) - G @ H) @ Pm[k]
+                if x[k] is not None:
+                    est[t, k] = x[k][:2]
+        return est
     for run in range(n_runs):
         rng = np.random.default_rng(500 + run)
-        controls, meas, truth = generate_mixed_run(
-            rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01))
+        controls, meas, truth, z_labels = generate_mixed_run(
+            rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01),
+            return_labels=True)
+        oracle_est = oracle_track(meas, truth, T)
         M = cfg.maxMeasurements
         rb = np.zeros((T, M, 2), np.float32)
         valid = np.zeros((T, M), bool)
+        lab = np.zeros((T, M), np.int32)
         for t in range(T):
             z = meas[t][:M]
             rb[t, :len(z)] = z
             valid[t, :len(z)] = True
+            if LABELED:
+                lab[t, :len(z)] = z_labels[t][:M]
         state = SlamState.create(cfg)
         zs = Measurements(rb=jnp.asarray(rb),
-                          label=jnp.zeros((T, M), jnp.int32),
+                          label=jnp.asarray(lab),
                           valid=jnp.asarray(valid))
         ctrl = jnp.asarray(np.concatenate(
             [np.zeros((1, 2), np.float32), controls[:T - 1]]))
@@ -124,6 +196,9 @@ def main():
             int(np.argmax(np.asarray(final.log_weights)))]).sum())
         dyn_w_all = np.asarray(la.dyn_w)              # [T, Fd]
         dyn_m_all = np.asarray(la.dyn_mean)           # [T, 4, Fd]
+        lw_all = np.asarray(la.log_weights)           # [T, P]
+        poses_all = np.asarray(la.poses)              # [T, P, 6]
+        map_pose = poses_all[np.arange(T), lw_all.argmax(axis=1)]  # [T,6]
         burn = max(10, T // 5)
         scored_before = len(mover_dist)
         # consecutive in-FOV step count per mover (resets when it leaves)
@@ -163,6 +238,11 @@ def main():
                     streak[k] = 0
                     continue
                 streak[k] += 1
+                if streak[k] >= 4:
+                    oe = oracle_est[t, k]
+                    oracle_settled.append(
+                        float(np.linalg.norm(oe - pos))
+                        if np.isfinite(oe).all() else np.inf)
                 if not sel.any():
                     mover_dist.append(np.inf)
                     if streak[k] >= 4:
@@ -178,6 +258,31 @@ def main():
                     vel_cos.append(cos)
                 if streak[k] >= 4:
                     settled_dist.append(float(dd[j]))
+                    any_sel = w4 > 0.01
+                    if any_sel.any():
+                        da = np.linalg.norm(
+                            m4[any_sel][:, :2] - pos, axis=1)
+                        ja = int(np.argmin(da))
+                        settled_dist_any.append(float(da[ja]))
+                        settled_nearest_w.append(float(w4[any_sel][ja]))
+                    else:
+                        settled_dist_any.append(np.inf)
+                    # pose-aligned (SE(2) relative-frame) distance: how
+                    # well the mover is localized RELATIVE to the MAP
+                    # particle's own pose — separates the mixed
+                    # subsystem's quality from the SLAM pose error that
+                    # displaces the whole world-frame map
+                    pe = map_pose[t]
+                    ce, se = np.cos(-pe[2]), np.sin(-pe[2])
+                    re_ = m4[sel][j, :2] - pe[:2]
+                    rel_e = np.array([ce * re_[0] - se * re_[1],
+                                      se * re_[0] + ce * re_[1]])
+                    ct_, st_ = np.cos(-vpose[2]), np.sin(-vpose[2])
+                    rt_ = pos - vpose[:2]
+                    rel_t = np.array([ct_ * rt_[0] - st_ * rt_[1],
+                                      st_ * rt_[0] + ct_ * rt_[1]])
+                    settled_dist_rel.append(
+                        float(np.linalg.norm(rel_e - rel_t)))
                     if cos is not None:
                         settled_cos.append(cos)
         print(f"run {run}: pose mean {pose_err[run].mean():.3f} m, "
@@ -202,18 +307,22 @@ def main():
     p_dist, p_cos = [], []
     for run in range(n_pause_runs):
         rng = np.random.default_rng(900 + run)
-        controls, meas, truth = generate_mixed_run(
-            rng, sc_p, pm0, pmv, control_noise=(0.2, 0.01))
+        controls, meas, truth, z_labels = generate_mixed_run(
+            rng, sc_p, pm0, pmv, control_noise=(0.2, 0.01),
+            return_labels=True)
         M = cfg.maxMeasurements
         rb = np.zeros((Tp, M, 2), np.float32)
         valid = np.zeros((Tp, M), bool)
+        lab = np.zeros((Tp, M), np.int32)
         for t in range(Tp):
             z = meas[t][:M]
             rb[t, :len(z)] = z
             valid[t, :len(z)] = True
+            if LABELED:
+                lab[t, :len(z)] = z_labels[t][:M]
         state = SlamState.create(cfg)
         zs = Measurements(rb=jnp.asarray(rb),
-                          label=jnp.zeros((Tp, M), jnp.int32),
+                          label=jnp.asarray(lab),
                           valid=jnp.asarray(valid))
         ctrl = jnp.asarray(np.concatenate(
             [np.zeros((1, 2), np.float32), controls[:Tp - 1]]))
@@ -258,7 +367,8 @@ def main():
         rng, sc, MOVER0, MOVER_V, control_noise=(0.2, 0.01))
     Tc = 4 if SMOKE else 20 if QUICK else 60
     cfg_cpu = cfg.replace(n_particles=16)
-    if INFORMED or OVERRIDES:
+    SKIP_CPU = "--skip-cpu" in sys.argv
+    if INFORMED or OVERRIDES or SKIP_CPU or LABELED:
         cpu_ms = float("nan")
         cpu_err = np.full((Tc,), np.nan)
     else:
@@ -318,11 +428,33 @@ def main():
         if settled_dist else None,
         settled_cos_mean=round(float(np.mean(settled_cos)), 3)
         if settled_cos else None,
+        settled_dist_any_mean=round(float(np.mean(
+            [d for d in settled_dist_any if np.isfinite(d)])), 3)
+        if any(np.isfinite(d) for d in settled_dist_any) else None,
+        settled_dist_any_under_2m=round(float(np.mean(
+            [d < 2.0 for d in settled_dist_any])), 3)
+        if settled_dist_any else None,
+        settled_nearest_w_mean=round(float(np.mean(settled_nearest_w)), 3)
+        if settled_nearest_w else None,
+        settled_dist_rel_mean=round(float(np.mean(
+            [d for d in settled_dist_rel if np.isfinite(d)])), 3)
+        if any(np.isfinite(d) for d in settled_dist_rel) else None,
+        settled_dist_rel_under_2m=round(float(np.mean(
+            [d < 2.0 for d in settled_dist_rel])), 3)
+        if settled_dist_rel else None,
+        oracle_settled_dist_mean=round(float(np.mean(
+            [d for d in oracle_settled if np.isfinite(d)])), 3)
+        if any(np.isfinite(d) for d in oracle_settled) else None,
+        oracle_settled_under_2m=round(float(np.mean(
+            [d < 2.0 for d in oracle_settled])), 3)
+        if oracle_settled else None,
         paused_dwell=paused,
         dyn_mass_mean=round(float(dyn_mass.mean()), 2),
         cpu_n_particles=cfg_cpu.n_particles, cpu_steps=Tc,
-        cpu_ms_per_step=None if (INFORMED or OVERRIDES) else round(cpu_ms, 1),
-        cpu_pose_mean=None if (INFORMED or OVERRIDES) else round(float(cpu_err.mean()), 3),
+        cpu_ms_per_step=None if (INFORMED or OVERRIDES or SKIP_CPU or LABELED)
+        else round(cpu_ms, 1),
+        cpu_pose_mean=None if (INFORMED or OVERRIDES or SKIP_CPU or LABELED)
+        else round(float(cpu_err.mean()), 3),
         tpu_pose_mean_cpu_window=round(float(pose_err[0, :Tc].mean()), 3))
     if not SMOKE:
         path = "results/round3_evidence.json"
@@ -330,6 +462,10 @@ def main():
         if os.path.exists(path):
             with open(path) as f:
                 data = json.load(f)
+        prev = data.get(out_key, {})
+        for ck in ("cpu_ms_per_step", "cpu_pose_mean"):
+            if out[out_key].get(ck) is None and prev.get(ck) is not None:
+                out[out_key][ck] = prev[ck]
         data.update(out)
         with open(path, "w") as f:
             json.dump(data, f, indent=1)

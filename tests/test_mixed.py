@@ -312,3 +312,30 @@ def test_birth_velocity_init_e2e(mixed_cfg):
     m4 = np.asarray(final.map_dynamic.mean[p, best])
     target = mover0 + mv * (T - 1) * cfg.dt
     assert np.linalg.norm(m4[:2] - target) < 3.0, (m4, target)
+
+
+def test_generate_mixed_run_labels():
+    """return_labels=True must label exactly the mover-origin detections
+    (1) and leave static/clutter at 0, with the same rng stream as the
+    unlabeled call (the permutation draw is shared), so labeled and
+    unlabeled runs see identical measurement sets."""
+    from phdslam_tpu.simdata import generate_mixed_run, make_scenario
+
+    rng1 = np.random.default_rng(3)
+    rng2 = np.random.default_rng(3)
+    sc = make_scenario(np.random.default_rng(0), n_landmarks=6,
+                       n_steps=15, clutter_rate=1.0)
+    m0 = np.array([[6.0, 0.0]])
+    mv = np.array([[0.0, 0.2]])
+    c1, meas1, truth1 = generate_mixed_run(rng1, sc, m0, mv,
+                                           control_noise=(0.1, 0.01))
+    c2, meas2, truth2, labels = generate_mixed_run(
+        rng2, sc, m0, mv, control_noise=(0.1, 0.01), return_labels=True)
+    np.testing.assert_array_equal(c1, c2)
+    n_mover = 0
+    for z1, z2, lab in zip(meas1, meas2, labels):
+        np.testing.assert_array_equal(z1, z2)
+        assert lab.shape == (len(z2),)
+        n_mover += int((lab == 1).sum())
+        assert set(np.unique(lab)) <= {0, 1}
+    assert n_mover > 0  # the mover was detected at least once
