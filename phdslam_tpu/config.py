@@ -218,6 +218,18 @@ class SlamConfig:
                                 # covVxBirth prior. TPU-rebuild extension —
                                 # the reference births at zero velocity
                                 # (src/phdfilter.cu:244-299).
+    keepOobDynamic: bool = False  # pass out-of-FOV DYNAMIC features
+                                # through the update like static ones.
+                                # The reference deliberately kills them
+                                # ('TODO: hack to kill of out-of-range
+                                # dynamic features',
+                                # src/phdfilter.cu:3715-3719), so every
+                                # mover that leaves the FOV loses its
+                                # track and must re-confirm from birth on
+                                # re-entry. Default False = the
+                                # reference's hack; True = passthrough
+                                # (measured to raise multi-dwell mover
+                                # tracking, scripts/mixed_evidence.py).
     birthVelMax: float = 5.0    # informed-birth association radius
                                 # (birthVelMax * dt) and implied-speed cap
     cnPoissonPredict: bool = True  # CPHD predicted-cardinality prior:
@@ -336,6 +348,7 @@ _KEY_MAP = {
     "pallas_interpret": "pallasInterpret",
     "select_by_index": "selectByIndex",
     "birth_velocity_init": "birthVelocityInit",
+    "keep_oob_dynamic": "keepOobDynamic",
     "birth_vel_max": "birthVelMax",
 }
 

@@ -537,7 +537,8 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
                                          z_rb, pose, cfg)
         sel4 = (e_sel4 * scale, mean_sel4, cov_sel4)
         gm4_out = _pool_merge_dynamic_sel(gm4, w_nd4, sel4, w_b4, z_rb,
-                                          pose, cfg, birth_vel=birth_vel)
+                                          pose, cfg, birth_vel=birth_vel,
+                                          rclass=pre4.rclass)
     else:
         gm2_out = _pool_merge_static(gm2, pre2, w_nd2, w_det2, w_b2, z_rb,
                                      pose, cfg)
@@ -641,11 +642,15 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg,
     [non-detections F | detections M*k1 | births M]. NOTE: the reference
     kills out-of-range dynamic features entirely after the update ('hack to
     kill off out-of-range dynamic features', src/phdfilter.cu:3713-3719) —
-    only in-range non-detection terms enter the originals section."""
+    only in-range non-detection terms enter the originals section. With
+    cfg.keepOobDynamic, out-of-FOV features pass through like the static
+    map's instead (see the config-field note)."""
     P, F = gm4.w.shape
     M = z_rb.shape[0]
     minw = cfg.minFeatureWeight
     w_sec1 = jnp.where(w_nd >= minw, w_nd, 0.0)
+    if cfg.keepOobDynamic:
+        w_sec1 = jnp.where(pre4.rclass == 1, w_sec1, gm4.w)
     w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
 
     k1 = min(cfg.selectTopK or (4 if cfg.mergeMode == 1 else 8), F)
@@ -677,15 +682,19 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg,
 
 
 def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg,
-                            birth_vel=None):
+                            birth_vel=None, rclass=None):
     """Sectioned dynamic merge from preselected (kernel) detection
-    channels: [non-detections F | detections M*k1 | births M]."""
+    channels: [non-detections F | detections M*k1 | births M]. rclass is
+    required when cfg.keepOobDynamic (out-of-FOV passthrough; see
+    _pool_merge_dynamic)."""
     w_sel, mean_sel, cov_sel = sel          # [P,M,k1], [P,4,M,k1], [P,10,M,k1]
     P, F = gm4.w.shape
     M = z_rb.shape[0]
     k1 = w_sel.shape[-1]
     minw = cfg.minFeatureWeight
     w_sec1 = jnp.where(w_nd >= minw, w_nd, 0.0)
+    if cfg.keepOobDynamic:
+        w_sec1 = jnp.where(rclass == 1, w_sec1, gm4.w)
     w_b_p = jnp.where(w_birth >= minw, w_birth, 0.0)
     w_sel = jnp.where(w_sel >= minw, w_sel, 0.0)
 

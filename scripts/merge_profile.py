@@ -162,6 +162,12 @@ def main():
         w, a, b, c, d, e, float(cfg.minSeparation), F))
     ms_mx, mout = timeit("merge exact [P,K]->F", merge, cand_w, cand_mx,
                          cand_my, cand_00, cand_01, cand_11)
+    merge_s = jax.jit(lambda w, a, b, c, d, e: greedy_merge_pallas(
+        w, a, b, c, d, e, float(cfg.minSeparation), F, sort_rows=True))
+    ms_ms, sout = timeit("merge exact, sort_rows", merge_s, cand_w,
+                         cand_mx, cand_my, cand_00, cand_01, cand_11)
+    same = all(bool(jnp.array_equal(a, b)) for a, b in zip(mout, sout))
+    print(f"sort_rows output identical: {same}")
     fastw = fast_prune_renormalize(cand_w, cfg.mergeMinWeight)
     ms_mf, fout = timeit("merge fast-pruned", merge, fastw, cand_mx,
                          cand_my, cand_00, cand_01, cand_11)

@@ -339,3 +339,44 @@ def test_generate_mixed_run_labels():
         n_mover += int((lab == 1).sum())
         assert set(np.unique(lab)) <= {0, 1}
     assert n_mover > 0  # the mover was detected at least once
+
+
+def test_keep_oob_dynamic_passthrough(mixed_cfg):
+    """The reference deliberately kills out-of-range dynamic features
+    ('TODO: hack...', src/phdfilter.cu:3715-3719) — default behavior —
+    while cfg.keepOobDynamic passes them through the update untouched
+    like the static map's out-of-range features. One dynamic feature
+    BEHIND the vehicle (out of FOV), one measurement ahead."""
+    from phdslam_tpu.filter.state import Gaussian4DMixture
+
+    P = mixed_cfg.n_particles
+    F = 8
+    cfg0 = mixed_cfg.replace(maxFeatures=F, usePallas=False)
+    pose = jnp.zeros((P, 6), jnp.float32)
+    mean = np.zeros((P, F, 4), np.float32)
+    mean[:, 0, :2] = [-6.0, 0.0]       # behind the vehicle
+    cov = np.broadcast_to(np.eye(4, dtype=np.float32) * 0.2,
+                          (P, F, 4, 4))
+    w = np.zeros((P, F), np.float32)
+    w[:, 0] = 0.9
+    gm4 = Gaussian4DMixture.from_arrays(
+        jnp.asarray(w), jnp.asarray(mean), jnp.asarray(cov))
+    gm2 = __import__(
+        "phdslam_tpu.filter.state", fromlist=["Gaussian2DMixture"]
+    ).Gaussian2DMixture(
+        w=jnp.zeros((P, F)), mx=jnp.zeros((P, F)), my=jnp.zeros((P, F)),
+        c00=jnp.ones((P, F)), c01=jnp.zeros((P, F)),
+        c11=jnp.ones((P, F)))
+    M = cfg0.maxMeasurements
+    z_rb = jnp.zeros((M, 2), jnp.float32).at[0, 0].set(5.0)
+    z_valid = jnp.arange(M) < 1
+    z_label = jnp.zeros((M,), jnp.int32)
+    for keep, expect in ((False, 0.0), (True, 0.9)):
+        cfg = cfg0.replace(keepOobDynamic=keep)
+        _, gm4_out, _ = U4.phd_update_mixed(pose, gm2, gm4, z_rb, z_label,
+                                            z_valid, cfg)
+        ow = np.asarray(gm4_out.w[0])
+        om = np.asarray(gm4_out.mean[0])          # [F, 4]
+        near = np.linalg.norm(om[:, :2] - [-6.0, 0.0], axis=1) < 0.5
+        got = float((ow * near).sum())
+        assert got == pytest.approx(expect, abs=1e-4), (keep, got)
