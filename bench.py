@@ -109,23 +109,76 @@ def bench_tpu(cfg, n_steps=19, warmup=3):
     return bench_tpu_many([cfg], n_steps, warmup)[0]
 
 
-def bench_cpu_reference(cfg, n_particles=32, n_steps=4):
+def bench_cpu_reference(cfg, n_particles=32, n_steps=4,
+                        anchor_path="results/dense_cpu_anchor.json"):
     """CPU reference path ms/step at a small particle count, extrapolated
-    linearly in particle count (the algorithm is independent per particle)."""
-    from phdslam_tpu import reference_cpu as R
+    linearly in particle count (the algorithm is independent per particle).
+
+    The measurement is PINNED: the first run on a given (config, workload)
+    caches ms/step keyed by a hash of the dense config + stress-input
+    parameters (results/dense_cpu_anchor.json, same pattern as
+    cv_full_cpu_anchor.json); later runs reuse it, so the derived
+    vs_baseline speedup no longer swings with host load (it varied
+    805-3180x across rounds on identical TPU numerators). Delete the
+    anchor file to force a re-measure."""
+    import dataclasses
+    import hashlib
 
     cfg_small = cfg.replace(n_particles=n_particles)
+    key = hashlib.sha256(
+        repr((sorted(dataclasses.asdict(cfg_small).items()), n_steps,
+              "make_stress_inputs-v1-seed0")).encode()).hexdigest()[:16]
+    if os.path.exists(anchor_path):
+        try:
+            with open(anchor_path) as f:
+                anchor = json.load(f)
+            if anchor.get("key") == key:
+                return float(anchor["ms_per_step"]), int(
+                    anchor["n_particles"])
+        except (ValueError, KeyError):
+            pass
+    from phdslam_tpu import reference_cpu as R
+
     rb, valid, controls = make_stress_inputs(cfg_small, n_steps + 1)
     meas = [rb[t][valid[t]] for t in range(n_steps + 1)]
     # one step of warm-in so maps are non-empty
     t0 = time.perf_counter()
     R.run(cfg_small, controls[1:], meas, seed=0)
     total = time.perf_counter() - t0
-    return total / (n_steps + 1) * 1000.0, n_particles
+    ms = total / (n_steps + 1) * 1000.0
+    try:
+        os.makedirs(os.path.dirname(anchor_path), exist_ok=True)
+        with open(anchor_path, "w") as f:
+            json.dump({"key": key, "ms_per_step": ms,
+                       "n_particles": n_particles, "n_steps": n_steps,
+                       "note": "CPU reference anchor for bench.py; "
+                               "delete to re-measure"}, f, indent=1)
+    except OSError:
+        pass
+    return ms, n_particles
+
+
+def dense_stress_config():
+    """The headline benchmark config: the SHIPPED cfg/ackerman_synth.cfg
+    defaults, scaled to the dense-stress shape. Only SHAPE and SCENE
+    knobs are overridden here — merge/selection semantics (mergeMode,
+    selectTopK, usePallas, mergeCompactK, ...) are whatever the shipped
+    cfg says, which tests/test_bench_contract.py asserts so the headline
+    can never silently drift from the shipped defaults again."""
+    from phdslam_tpu.config import load_config
+    return load_config("cfg/ackerman_synth.cfg").replace(
+        n_particles=8192, maxFeatures=512, maxMeasurements=64,
+        y0=0.0, birthWeight=1e-3, clutterRate=50.0)
+
+
+#: the only fields dense_stress_config may override relative to the
+#: shipped cfg — shape and scene density, never filter semantics
+STRESS_OVERRIDES = ("n_particles", "maxFeatures", "maxMeasurements",
+                    "y0", "birthWeight", "clutterRate",
+                    "clutterDensity")   # derived from clutterRate
 
 
 def main():
-    from phdslam_tpu.config import load_config
     from phdslam_tpu.utils import ensure_backend
     ensure_backend()
 
@@ -136,9 +189,7 @@ def main():
     # without the tunnel (utils.tpu_expected).
     tpu_reexec_retry()
 
-    stress = load_config("cfg/ackerman_synth.cfg").replace(
-        n_particles=8192, maxFeatures=512, maxMeasurements=64,
-        y0=0.0, birthWeight=1e-3, clutterRate=50.0)
+    stress = dense_stress_config()
 
     quick = "--quick" in sys.argv
     if jax.default_backend() not in ("tpu", "axon"):

@@ -232,6 +232,20 @@ class SlamConfig:
                                 # tracking, scripts/mixed_evidence.py).
     birthVelMax: float = 5.0    # informed-birth association radius
                                 # (birthVelMax * dt) and implied-speed cap
+    birthWeightDynamic: float = -1.0  # birth weight for the DYNAMIC map in
+                                # the mixed model; -1 (default) = use
+                                # birthWeight for both maps, the
+                                # reference's symmetric-birth semantics
+                                # (src/phdfilter.cu:2501-2503, one
+                                # birthWeight constant). Setting it higher
+                                # than birthWeight lets a lone mover birth
+                                # confirm against clutterDensity + the
+                                # static doppelganger's detection split
+                                # WITHOUT raising the static birth weight
+                                # (which pollutes the static map/pose) —
+                                # the round-4 confirmation-failure fix;
+                                # evidence: results/mixed_dwell_oracle.json
+                                # + RESULTS.md mixed section.
     cnPoissonPredict: bool = True  # CPHD predicted-cardinality prior:
                                 # True (default) rebuilds it as Poisson of
                                 # the full-map intensity mass each step —
@@ -350,6 +364,7 @@ _KEY_MAP = {
     "birth_velocity_init": "birthVelocityInit",
     "keep_oob_dynamic": "keepOobDynamic",
     "birth_vel_max": "birthVelMax",
+    "birth_weight_dynamic": "birthWeightDynamic",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(SlamConfig)}

@@ -245,14 +245,21 @@ def informed_birth_velocity(pose, z_rb, z_valid, zw_prev, zp_valid, dt,
     dmin2 = jnp.min(d2, axis=-1)
     var_p = cfg.stdRange ** 2 + (z_rb[None, :, 0] * cfg.stdBearing) ** 2
     r_match = 3.0 * jnp.sqrt(var_p) + cfg.birthVelMax * dt
+    # a zero/negative dt (duplicate timestamps) makes the two-point
+    # velocity undefined: force unmatched (-> zero-velocity prior birth)
+    # and guard the divisions so no Inf/NaN is ever materialized.
+    dt_ok = dt > 0.0
+    dt_safe = jnp.maximum(dt, 1e-6)
     matched = (dmin2 < r_match * r_match) & z_valid[None, :] \
-        & jnp.any(zp_valid)
+        & jnp.any(zp_valid) & dt_ok
     take = lambda a: jnp.take_along_axis(
         a[:, None, :], j[:, :, None], axis=2)[..., 0]      # [P,Mp]->[P,M]
-    var_obs = 2.0 * var_p / (dt * dt)
+    var_obs = 2.0 * var_p / (dt_safe * dt_safe)
     gain = cfg.covVxBirth / (cfg.covVxBirth + var_obs)
-    vx = jnp.where(matched, gain * (px - take(zw_prev[..., 0])) / dt, 0.0)
-    vy = jnp.where(matched, gain * (py - take(zw_prev[..., 1])) / dt, 0.0)
+    vx = jnp.where(matched, gain * (px - take(zw_prev[..., 0])) / dt_safe,
+                   0.0)
+    vy = jnp.where(matched, gain * (py - take(zw_prev[..., 1])) / dt_safe,
+                   0.0)
     var_v = jnp.where(matched,
                       jnp.maximum(gain * var_obs, 0.1 * cfg.covVxBirth),
                       cfg.covVxBirth)
@@ -484,10 +491,20 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
         sum_exp4 = jnp.sum(jnp.exp(lw4), axis=-1)
 
     # --- joint per-measurement normalizer (src/phdfilter.cu:2476-2505) ---
+    # birthWeightDynamic < 0 -> symmetric births (reference semantics);
+    # >= 0 -> the dynamic map births at its own weight (extension, see
+    # config.py) and the normalizer carries the per-map terms
     sum_exp = sum_exp2 + sum_exp4
-    n_birth_terms = 1 if cfg.labeledMeasurements else 2
-    normalizer = (sum_exp + cfg.clutterDensity
-                  + n_birth_terms * cfg.birthWeight)
+    bw_s = cfg.birthWeight
+    bw_d = cfg.birthWeightDynamic if cfg.birthWeightDynamic >= 0.0 \
+        else cfg.birthWeight
+    if cfg.labeledMeasurements:
+        # one birth term per measurement: the labeled map's
+        birth_terms = jnp.where(z_label == DYNAMIC_MEASUREMENT,
+                                bw_d, bw_s)[None, :]
+    else:
+        birth_terms = bw_s + bw_d
+    normalizer = sum_exp + cfg.clutterDensity + birth_terms
     log_norm = safe_log(normalizer)
     mvalid = z_valid.astype(dtype)
     n_measure = jnp.sum(mvalid)
@@ -497,14 +514,15 @@ def phd_update_mixed(pose, gm2, gm4, z_rb, z_label, z_valid,
     if not use_pallas:
         w_det2 = jnp.exp(lw2 - log_norm[..., None])
         w_det4 = jnp.exp(lw4 - log_norm[..., None])
-    birth_lin = jnp.asarray(cfg.birthWeight, dtype)
     if cfg.labeledMeasurements:
         b2_ok = (z_label == STATIC_MEASUREMENT)[None, :]
         b4_ok = (z_label == DYNAMIC_MEASUREMENT)[None, :]
     else:
         b2_ok = b4_ok = jnp.ones((1, M), bool)
-    w_b2 = jnp.where(b2_ok & z_valid[None, :], birth_lin / normalizer, 0.0)
-    w_b4 = jnp.where(b4_ok & z_valid[None, :], birth_lin / normalizer, 0.0)
+    w_b2 = jnp.where(b2_ok & z_valid[None, :],
+                     jnp.asarray(bw_s, dtype) / normalizer, 0.0)
+    w_b4 = jnp.where(b4_ok & z_valid[None, :],
+                     jnp.asarray(bw_d, dtype) / normalizer, 0.0)
 
     # --- particle weights ---
     sum_log_norm = jnp.sum(log_norm * mvalid[None, :], axis=-1)

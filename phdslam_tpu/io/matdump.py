@@ -128,10 +128,13 @@ def read_particles_mat(path: str):
 
     d = loadmat(path, squeeze_me=False)
     p = d["particles"][0, 0]
+    # 'vars' is the current (matio-matched) field name; fall back to
+    # 'variances' for .mat files written by the pre-round-4 exporter.
+    var_field = "vars" if "vars" in p.dtype.names else "variances"
     out = dict(
         states=np.asarray(p["states"]),
         weights=np.asarray(p["weights"]).ravel(),
-        variances=np.asarray(p["vars"]).ravel(),
+        variances=np.asarray(p[var_field]).ravel(),
         resample_idx=np.asarray(p["resample_idx"]).ravel().astype(int),
     )
     for key in ("maps_static", "maps_dynamic", "max_map_static",

@@ -162,6 +162,12 @@ def ospa_jax(x, x_valid, y, y_valid, p: float = 1.0, c: float = 10.0,
     are treated as absent by pinning their pairwise cost to the cutoff c,
     which makes them behave exactly like the (n-m) dummy points in the OSPA
     definition. Returns (ospa, loc, card).
+
+    max_iters is a PER-SCALING-PHASE auction budget, not a total: the
+    eps-scaled auction runs ~5 phases (see _auction_assign), each capped at
+    max_iters bids, so the total work bound is ~n_phases * max_iters
+    iterations of O(n^2) vector ops. 0 (default) = the tuned
+    _BIDS_PER_N * n per-phase cap.
     """
     mx, my = x.shape[0], y.shape[0]
     n = max(mx, my)

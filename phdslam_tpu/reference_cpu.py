@@ -430,7 +430,15 @@ def update_mixed(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig,
     ones = np.ones(m_count, bool)
     st_ok = ones if not labeled else (z_label == 0)   # static dets/births
     dy_ok = ones if not labeled else (z_label == 1)   # dynamic dets/births
-    n_birth_terms = 1 if labeled else 2
+    # birthWeightDynamic < 0 -> symmetric (reference); >= 0 -> the dynamic
+    # map births at its own weight (extension mirrored in update4.py)
+    bw_s = cfg.birthWeight
+    bw_d = cfg.birthWeightDynamic if cfg.birthWeightDynamic >= 0.0 \
+        else cfg.birthWeight
+    if labeled:
+        birth_terms = np.where(z_label == 1, bw_d, bw_s)
+    else:
+        birth_terms = np.full(m_count, bw_s + bw_d)
 
     for p in slam.particles:
         pose = p.pose
@@ -554,7 +562,7 @@ def update_mixed(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig,
                        - 0.5 * np.log(det_s4))
                 sum4 = np.exp(lw4).sum()
             norm = (sum2 + sum4 + cfg.clutterDensity
-                    + n_birth_terms * cfg.birthWeight)
+                    + birth_terms[mi])
             log_norms[mi] = np.log(norm)
             if n2 and st_ok[mi]:
                 comps_w2.append(np.exp(lw2 - log_norms[mi]))
@@ -569,15 +577,16 @@ def update_mixed(slam: CpuSlam, z: np.ndarray, cfg: SlamConfig,
 
         # births into both maps
         for mi in range(m_count):
-            bwt = cfg.birthWeight / np.exp(log_norms[mi])
             if st_ok[mi]:
                 mean_b, cov_b = _birth(pose, z[mi], cfg)
-                comps_w2.append(np.array([bwt]))
+                comps_w2.append(
+                    np.array([bw_s / np.exp(log_norms[mi])]))
                 comps_mu2.append(mean_b[None])
                 comps_P2.append(cov_b[None])
             if dy_ok[mi]:
                 mean_b4, cov_b4 = _birth4(pose, z[mi], cfg)
-                comps_w4.append(np.array([bwt]))
+                comps_w4.append(
+                    np.array([bw_d / np.exp(log_norms[mi])]))
                 comps_mu4.append(mean_b4[None])
                 comps_P4.append(cov_b4[None])
 
