@@ -20,6 +20,29 @@ Output layout is [cap, tile_p] per channel (the written slot indexes the
 major axis — Mosaic forbids dynamic minor-dim stores); the caller
 transposes. Exact parity with the XLA path is tested in interpret mode
 (tests/test_pallas.py) and on-chip (scripts/tpu_kernel_check.py).
+
+Performance ledger (dense pool [8192, 1088] -> 512, v5e, round 5): the
+loop costs ~3.3 us per greedy pick per 128-particle tile and every
+micro-architectural lever was measured and falsified before settling on
+the shipped default:
+
+  [tp, K] layout tp=128 (r3 shipped)   27.2 ms
+  [K, tp] transposed layout (SHIPPED)  25.5 ms   (sublane reductions)
+  tile_p=256/512 (either layout)       +1-8%     (per-pick cost scales
+                                                  with tp even when VMEM
+                                                  fits; no trip win)
+  block 8/32/64/128                    +-2%
+  sort_rows trip equalization          ~neutral  (6-channel gather cost
+                                                  eats the ~12% trip win)
+  exact nonzero compaction to K=512    ~10x WORSE (XLA argsort+gather of
+                                                  6x[8192,1088] ~250 ms)
+  channel-packed one_pick ([2K]/[3K])  +16%      (fewer, bigger ops lost
+                                                  to concat/repeat cost)
+
+Net: cost ~ clusters x P/128 x 3.3 us, insensitive to K/width/packing —
+the greedy pick's serial dependency chain is the floor. Trip count (the
+scene's cluster count) is the only remaining lever; the fast path
+(mergeMode=1) uses it by pruning sub-threshold candidates.
 """
 
 from __future__ import annotations
@@ -163,12 +186,16 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
         wrem_ref[:, :] = w_rem
         slabs = [jnp.stack([o[k] for o in outs], axis=0)
                  for k in range(6)]                          # [block, tp]
-        ow_ref[pl.ds(i, block), :] = slabs[0]
-        omx_ref[pl.ds(i, block), :] = slabs[1]
-        omy_ref[pl.ds(i, block), :] = slabs[2]
-        o00_ref[pl.ds(i, block), :] = slabs[3]
-        o01_ref[pl.ds(i, block), :] = slabs[4]
-        o11_ref[pl.ds(i, block), :] = slabs[5]
+        # i is a while-carry that only ever holds multiples of `block`;
+        # Mosaic can't see that through the loop, so assert it (without
+        # the hint the sublane-alignment check rejects tile_p > 128)
+        ia = pl.multiple_of(i, block)
+        ow_ref[pl.ds(ia, block), :] = slabs[0]
+        omx_ref[pl.ds(ia, block), :] = slabs[1]
+        omy_ref[pl.ds(ia, block), :] = slabs[2]
+        o00_ref[pl.ds(ia, block), :] = slabs[3]
+        o01_ref[pl.ds(ia, block), :] = slabs[4]
+        o11_ref[pl.ds(ia, block), :] = slabs[5]
         return i + block, mval
 
     def cond(carry):
@@ -182,14 +209,130 @@ def _kernel(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.max(w0, axis=1)))
 
 
+def _kernel_kt(w_ref, mx_ref, my_ref, c00_ref, c01_ref, c11_ref,
+               ow_ref, omx_ref, omy_ref, o00_ref, o01_ref, o11_ref,
+               wrem_ref,
+               *, cap: int, min_separation: float, metric: int,
+               block: int):
+    """Transposed-layout twin of ``_kernel``: channel blocks are [K, tp]
+    (candidates on the SUBLANE axis, particles on the LANE axis), so every
+    per-pick reduction runs along sublanes — strided vreg adds at VPU
+    throughput — instead of along lanes. Measured on the dense pool
+    ([8192, 1088] -> 512): the [tp, K] layout's per-pick cost is
+    ~3.3 us x (tp/128) and *independent of K*, i.e. the lane-axis
+    reductions pay a fixed per-sublane latency that dwarfs the arithmetic;
+    this layout makes the same picks throughput-bound. Same arithmetic,
+    same outputs (reduction order differs -> float32 ulp-level drift)."""
+    K, tp = w_ref.shape
+    mx = mx_ref[:, :]
+    my = my_ref[:, :]
+    c00 = c00_ref[:, :]
+    c01 = c01_ref[:, :]
+    c11 = c11_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (K, tp), 0)
+
+    zeros_out = jnp.zeros((cap, tp), w_ref.dtype)
+    ones_out = jnp.ones((cap, tp), w_ref.dtype)
+    ow_ref[:, :] = zeros_out
+    omx_ref[:, :] = zeros_out
+    omy_ref[:, :] = zeros_out
+    o00_ref[:, :] = ones_out
+    o01_ref[:, :] = zeros_out
+    o11_ref[:, :] = ones_out
+
+    def one_pick(w_rem, mval):
+        # mval: [1, tp] running max of w_rem (see _kernel.one_pick)
+        hit = w_rem == mval
+        first = jnp.min(jnp.where(hit, iota, K), axis=0, keepdims=True)
+        onehot = iota == first
+        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=0,
+                                 keepdims=True)               # [1, tp]
+        rmx = pick(mx)
+        rmy = pick(my)
+        r00 = pick(c00)
+        r01 = pick(c01)
+        r11 = pick(c11)
+        dx = rmx - mx
+        dy = rmy - my
+        dx2 = dx * dx
+        dxy = dx * dy
+        dy2 = dy * dy
+        if metric == 1:
+            s00, s01, s11 = r00 + c00, r01 + c01, r11 + c11
+            det_sum = s00 * s11 - s01 * s01
+            safe = jnp.maximum(det_sum, 1.17549435e-38)
+            eps_q = -0.25 * (dx * dx * s11 - 2.0 * dx * dy * s01
+                             + dy * dy * s00) / safe
+            det_prod = ((r00 * c00 + r01 * c01) * (r01 * c01 + r11 * c11)
+                        - (r00 * c01 + r01 * c11)
+                        * (r01 * c00 + r11 * c01))
+            dist = 1.0 - jnp.sqrt(
+                jnp.maximum(jnp.sqrt(jnp.maximum(det_prod, 0.0))
+                            / (det_sum / 4.0), 0.0)) * jnp.exp(eps_q)
+            near = dist < min_separation
+        else:
+            a00 = 0.5 * (r00 + c00)
+            a01 = 0.5 * (r01 + c01)
+            a11 = 0.5 * (r11 + c11)
+            det = a00 * a11 - a01 * a01
+            quad = (dx2 * a11 - 2.0 * dxy * a01 + dy2 * a00)
+            near = quad < min_separation * det
+        sel = (near & (w_rem > 0.0)) | onehot
+        sel = sel & (mval > 0.0)
+        sw = jnp.where(sel, w_rem, 0.0)
+        wsum = jnp.sum(sw, axis=0)                            # [tp]
+        inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
+        mcx = jnp.sum(sw * dx, axis=0) * inv
+        mcy = jnp.sum(sw * dy, axis=0) * inv
+        n00 = jnp.sum(sw * (c00 + dx2), axis=0) * inv - mcx * mcx
+        n01 = jnp.sum(sw * (c01 + dxy), axis=0) * inv - mcx * mcy
+        n11 = jnp.sum(sw * (c11 + dy2), axis=0) * inv - mcy * mcy
+        mux = jnp.where(wsum > 0.0, rmx[0, :] - mcx, 0.0)
+        muy = jnp.where(wsum > 0.0, rmy[0, :] - mcy, 0.0)
+        w_next = jnp.where(sel, 0.0, w_rem)
+        vals = (wsum, mux, muy,
+                jnp.where(wsum > 0.0, n00, 1.0), n01,
+                jnp.where(wsum > 0.0, n11, 1.0))
+        return w_next, jnp.max(w_next, axis=0, keepdims=True), vals
+
+    def body(carry):
+        i, mval = carry
+        w_rem = wrem_ref[:, :]
+        outs = []
+        for _b in range(block):
+            w_rem, mval, vals = one_pick(w_rem, mval)
+            outs.append(vals)
+        wrem_ref[:, :] = w_rem
+        slabs = [jnp.stack([o[k] for o in outs], axis=0)
+                 for k in range(6)]                          # [block, tp]
+        ia = pl.multiple_of(i, block)    # see _kernel: while-carry hint
+        ow_ref[pl.ds(ia, block), :] = slabs[0]
+        omx_ref[pl.ds(ia, block), :] = slabs[1]
+        omy_ref[pl.ds(ia, block), :] = slabs[2]
+        o00_ref[pl.ds(ia, block), :] = slabs[3]
+        o01_ref[pl.ds(ia, block), :] = slabs[4]
+        o11_ref[pl.ds(ia, block), :] = slabs[5]
+        return i + block, mval
+
+    def cond(carry):
+        i, mval = carry
+        return (i < cap) & (jnp.max(mval) > 0.0)
+
+    w0 = w_ref[:, :]
+    wrem_ref[:, :] = w0
+    jax.lax.while_loop(cond, body,
+                       (jnp.int32(0), jnp.max(w0, axis=0, keepdims=True)))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("min_separation", "max_out", "tile_p",
                                     "interpret", "metric", "block",
-                                    "sort_rows"))
+                                    "sort_rows", "layout", "compact_k"))
 def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
                         max_out: int, tile_p: int = 128,
                         interpret: bool = False, metric: int = 0,
-                        block: int = 0, sort_rows: bool = False):
+                        block: int = 0, sort_rows: bool = False,
+                        layout: str = "kp", compact_k: int = 0):
     """Drop-in for ops.gm.greedy_merge_channels (metric 0 or 1).
 
     w..c11: [P, K] candidate channels; returns six [P, max_out] channels.
@@ -201,7 +344,42 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
     tile of 150-cluster ones makes all 128 pay 400 trips; grouping
     similar workloads cuts total trips toward sum-of-tile-means. Exact:
     rows are independent, so any row order yields identical per-row
-    results (asserted in tests/test_pallas.py)."""
+    results (asserted in tests/test_pallas.py). Measured ~neutral at the
+    dense pool (27.9 vs 28.2 ms: the 6-channel gather/scatter eats the
+    ~12% trip saving), so off by default.
+
+    layout: "kp" (default) runs the transposed kernel — candidates on
+    sublanes, particles on lanes — whose per-pick reductions are
+    throughput-bound (see _kernel_kt); "pk" keeps the original
+    [tile_p, K] kernel (kept for A/B measurement).
+
+    compact_k: stable-partition each row's NONZERO-weight candidates to
+    the front and hand the kernel only the first compact_k columns.
+    Exact whenever every row has <= compact_k nonzero candidates
+    (zero-weight entries can never join or seed a cluster, and the
+    stable order preserves first-index tie-breaking); rows that overflow
+    fall back to the full-K kernel via lax.cond, so the result is exact
+    unconditionally. The win is VMEM: at the dense pool (K=1088, <=454
+    nonzero/row) compacting to 512 lets tile_p=256 fit on-chip, halving
+    the grid's total pick count."""
+    if compact_k and 0 < compact_k < w.shape[1]:
+        args6 = (w, mx, my, c00, c01, c11)
+        fits = jnp.max(jnp.sum((w > 0.0).astype(jnp.int32), axis=1)) \
+            <= compact_k
+        kw = dict(tile_p=tile_p, interpret=interpret, metric=metric,
+                  block=block, sort_rows=sort_rows, layout=layout)
+
+        def compacted(a6):
+            order = jnp.argsort((a6[0] <= 0.0).astype(jnp.int32), axis=1,
+                                stable=True)[:, :compact_k]
+            g = lambda x: jnp.take_along_axis(x, order, axis=1)
+            return greedy_merge_pallas(*(g(x) for x in a6),
+                                       min_separation, max_out, **kw)
+
+        def full(a6):
+            return greedy_merge_pallas(*a6, min_separation, max_out, **kw)
+
+        return jax.lax.cond(fits, compacted, full, args6)
     if sort_rows:
         order = jnp.argsort(jnp.sum((w > 0.0).astype(jnp.int32), axis=1))
         inv = jnp.argsort(order)
@@ -209,28 +387,41 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
             w[order], mx[order], my[order], c00[order], c01[order],
             c11[order], min_separation, max_out, tile_p=tile_p,
             interpret=interpret, metric=metric, block=block,
-            sort_rows=False)
+            sort_rows=False, layout=layout)
         return tuple(o[inv] for o in outs)
     (w, mx, my, c00, c01, c11), P0 = _pad_rows(
         [w, mx, my, c00, c01, c11], tile_p)
     P, K = w.shape
     dtype = w.dtype
-    chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
     if block <= 0:
         block = next(b for b in (16, 8, 4, 2, 1) if max_out % b == 0)
+    if layout == "kp":
+        ins = [jnp.transpose(a, (1, 0)) for a in (w, mx, my, c00, c01,
+                                                  c11)]       # [K, P]
+        chan = pl.BlockSpec((K, tile_p), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel_kt, cap=max_out,
+                                 min_separation=float(min_separation),
+                                 metric=int(metric), block=block)
+        scratch = pltpu.VMEM((K, tile_p), dtype)
+    else:
+        ins = [w, mx, my, c00, c01, c11]
+        chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel, cap=max_out,
+                                 min_separation=float(min_separation),
+                                 metric=int(metric), block=block)
+        scratch = pltpu.VMEM((tile_p, K), dtype)
     outs = pl.pallas_call(
-        functools.partial(_kernel, cap=max_out,
-                          min_separation=float(min_separation),
-                          metric=int(metric), block=block),
+        kern,
         grid=(P // tile_p,),
         in_specs=[chan] * 6,
         out_specs=(out,) * 6,
         out_shape=tuple(jax.ShapeDtypeStruct((max_out, P), dtype)
                         for _ in range(6)),
-        scratch_shapes=[pltpu.VMEM((tile_p, K), dtype)],
+        scratch_shapes=[scratch],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(48e6 * max(1, tile_p // 128))),
         cost_estimate=pl.CostEstimate(
@@ -238,7 +429,7 @@ def greedy_merge_pallas(w, mx, my, c00, c01, c11, min_separation,
             bytes_accessed=(6 * P * K + 6 * P * max_out) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(w, mx, my, c00, c01, c11)
+    )(*ins)
     return tuple(jnp.transpose(o, (1, 0))[:P0] for o in outs)
 
 
@@ -329,8 +520,9 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
         for _b in range(block):
             w_rem, vals = one_pick(w_rem)
             outs.append(vals)
+        ia = pl.multiple_of(i, block)    # see _kernel: while-carry hint
         for k, ref in enumerate(refs):
-            ref[pl.ds(i, block), :] = jnp.stack(
+            ref[pl.ds(ia, block), :] = jnp.stack(
                 [o[k] for o in outs], axis=0)
         return i + block, w_rem
 
@@ -454,8 +646,9 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
         for _b in range(block):
             w_rem, vals = one_pick(w_rem)
             outs.append(vals)
+        ia = pl.multiple_of(i, block)    # see _kernel: while-carry hint
         for k, ref in enumerate(refs):
-            ref[pl.ds(i, block), :] = jnp.stack(
+            ref[pl.ds(ia, block), :] = jnp.stack(
                 [o[k] for o in outs], axis=0)
         return i + block, w_rem
 
