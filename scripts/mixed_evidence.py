@@ -72,16 +72,14 @@ def main():
     n_runs = 1 if SMOKE else 2 if QUICK else 10
     sc = make_scenario(np.random.default_rng(11), n_landmarks=40,
                       n_steps=T)
-    # base = the proven MC setup (run_batch's contract: scenario-aligned
-    # start pose, cfg-default clutter matching the scenario generator,
-    # control noise (0.2, 0.01)); mixed knobs = the tuned values of
-    # tests/test_mixed.py::mixed_cfg
-    cfg = load_config("cfg/ackerman_synth.cfg").replace(
+    # base = the SHIPPED mixed defaults (cfg/mixed_synth.cfg — incl.
+    # birth_weight_dynamic = 0.05) with run_batch's MC contract on top
+    # (scenario-aligned start pose, control noise (0.2, 0.01)); shape
+    # overrides only
+    cfg = load_config("cfg/mixed_synth.cfg").replace(
         n_particles=32 if SMOKE else 256,
         maxFeatures=32 if SMOKE else 128,
         maxMeasurements=16 if SMOKE else 64,
-        featureModel=2, birthWeight=1e-2, covVxBirth=1.0, covVyBirth=1.0,
-        stdAxMap=0.05, stdAyMap=0.05, ps=0.98, tau=-10.0, beta=10.0,
         birthVelocityInit=INFORMED, labeledMeasurements=LABELED,
         x0=float(sc.traj[0, 0]), y0=float(sc.traj[0, 1]),
         yaw0=float(sc.traj[0, 2]))

@@ -380,3 +380,75 @@ def test_keep_oob_dynamic_passthrough(mixed_cfg):
         near = np.linalg.norm(om[:, :2] - [-6.0, 0.0], axis=1) < 0.5
         got = float((ow * near).sum())
         assert got == pytest.approx(expect, abs=1e-4), (keep, got)
+
+
+@pytest.mark.slow
+def test_shipped_mixed_cfg_confirms_mover():
+    """E2E against the SHIPPED mixed defaults (cfg/mixed_synth.cfg, incl.
+    birth_weight_dynamic = 0.05): in the confirmation-failure regime that
+    symmetric 1e-2 births provably lose (static landmarks competing for
+    the mover's measurements + clutter; the unlabeled update splits every
+    measurement's mass across both maps, src/phdfilter.cu:2552-2607), a
+    crossing mover must CONFIRM in the dynamic map — nearest dynamic
+    feature within 2 m at weight >= 0.05 on most settled steps. Shape
+    knobs (particles/features/measurements) are the only overrides, so
+    this test breaks if the shipped cfg's mixed knobs drift."""
+    import jax
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.state import Measurements, SlamState
+    from phdslam_tpu.filter.step import run_scan
+
+    cfg = load_config("cfg/mixed_synth.cfg").replace(
+        n_particles=64, maxFeatures=32, maxMeasurements=32,
+        x0=0.0, y0=0.0, yaw0=0.0)
+    assert cfg.birthWeightDynamic > cfg.birthWeight  # the shipped fix
+    assert cfg.clutterRate == 20.0   # the regime symmetric births lose in
+    rng = np.random.default_rng(5)
+    T = 40
+    # static landmarks flanking the mover's path: every mover detection
+    # also feeds plausible static births/updates (the doppelganger)
+    landmarks = np.array([[5.0, -2.0], [7.0, 1.0], [4.0, 3.0]])
+    mover0 = np.array([6.5, -4.0])
+    mv = np.array([0.0, 0.25])
+    M = cfg.maxMeasurements
+    rb = np.zeros((T, M, 2), np.float32)
+    valid = np.zeros((T, M), bool)
+    truth = np.zeros((T, 2))
+    for t in range(T):
+        pos = mover0 + mv * t * cfg.dt
+        truth[t] = pos
+        pts = [pos] + [lm for lm in landmarks
+                       if rng.uniform() < cfg.pd]
+        zs = [[np.linalg.norm(p) + rng.normal(0, cfg.stdRange),
+               np.arctan2(p[1], p[0]) + rng.normal(0, cfg.stdBearing)]
+              for p in pts]
+        for _ in range(rng.poisson(cfg.clutterRate)):
+            zs.append([rng.uniform(0.5, cfg.maxRange),
+                       rng.uniform(-cfg.maxBearing, cfg.maxBearing)])
+        for i, z in enumerate(zs[:M]):
+            rb[t, i] = z
+            valid[t, i] = True
+    state = SlamState.create(cfg)
+    zs = Measurements(rb=jnp.asarray(rb),
+                      label=jnp.zeros((T, M), jnp.int32),
+                      valid=jnp.asarray(valid))
+    ctrl = jnp.zeros((T, 2), jnp.float32)
+    dts = jnp.full((T,), cfg.dt, jnp.float32)
+    _, (_, la) = run_scan(state, jax.random.PRNGKey(0), ctrl, zs, dts,
+                          cfg, T, with_log_state=True)
+    dyn_w = np.asarray(la.dyn_w)
+    dyn_m = np.asarray(la.dyn_mean)
+    confirmed = []
+    for t in range(8, T):
+        w = dyn_w[t]
+        m4 = dyn_m[t].T
+        sel = w >= 0.05                      # the evidence existence rule
+        ok = False
+        if sel.any():
+            dd = np.linalg.norm(m4[sel][:, :2] - truth[t], axis=1)
+            ok = bool(dd.min() < 2.0)
+        confirmed.append(ok)
+    frac = float(np.mean(confirmed))
+    # measured: 1.00 under the shipped cfg, 0.88 with symmetric births
+    # (birthWeightDynamic=-1) on the same stream
+    assert frac >= 0.9, (frac, confirmed)
