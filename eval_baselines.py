@@ -920,6 +920,70 @@ def main():
             for k, v in var_keys:
                 lines.append(_row(k[len("mixed_"):] or k, v))
             lines += [""]
+    if os.path.exists("results/mixed_dwell_oracle.json"):
+        with open("results/mixed_dwell_oracle.json") as f:
+            dwo = json.load(f)
+        results["mixed_dwell_oracle"] = dwo
+        rows = {r["name"]: r for r in dwo["rows"]}
+        lines += [
+            "### Labeled-mode anomaly: mechanism "
+            "(scripts/mixed_dwell_oracle.py, float64 oracle, "
+            f"{dwo['n_particles']} particles, paused-dwell leg)",
+            "",
+            "Round 4 found the labeled mixed mode (measurements carry "
+            "static/dynamic labels, the update label-gates — "
+            "src/phdfilter.cu:1913-1921) producing dyn_mass = 0.0 and "
+            "WORSE dwell scores than unlabeled. The oracle decomposition "
+            "pins TWO stacked mechanisms, neither a code bug (the update "
+            "math is oracle-parity-tested, tests/test_mixed_parity.py):",
+            "",
+            "- CONFIRMATION arithmetic: a lone dynamic birth at "
+            "birth_weight = 0.01 faces the per-measurement normalizer's "
+            "clutterDensity = 0.64; it is born at weight ~0.015 and the "
+            "per-step detection gain pd*N(innov;S)/normalizer stays < 1 "
+            "even perfectly localized (max N ~ 0.76 at the sensor noise "
+            "floor), so it plateaus below the w >= 0.05 existence rule. "
+            "Labeled mode gives the dynamic map exactly ONE such birth "
+            "per mover per step; raising birth_weight_dynamic to 0.1 "
+            "raises labeled dyn_mass 0.04 -> 0.21 as predicted but does "
+            "NOT fix localization, because of:",
+            "- the birth-trail SNOWBALL: successive mover births land "
+            "~0.26 m apart with ~2.25 m^2 birth position covariance; "
+            "under the averaged-covariance Mahalanobis (minSeparation "
+            "= 5) each new birth merges into the previous cluster, and "
+            "moment-matching inflates the merged covariance so the "
+            "cluster keeps swallowing the whole trail — ONE dynamic "
+            "feature (n_dyn = 1 measured) pinned near the trail "
+            "centroid, lagging the mover by ~5 m "
+            "(pinned at unit scale: tests/test_mixed.py::"
+            "test_birth_trail_snowball_merge). Detection updates cannot "
+            "pull it forward: the inflated covariance keeps N(innov;S) "
+            "(and hence the Kalman pull) small.",
+            "- unlabeled mode masks both mechanisms rather than "
+            "avoiding them: every measurement (clutter and static "
+            "alike) births into the dynamic map — M times the birth "
+            "mass keeps merged clones alive near everything (dyn_mass "
+            f"{rows.get('unlabeled', {}).get('dyn_mass_mean')} vs "
+            f"{rows.get('labeled', {}).get('dyn_mass_mean')} labeled) — "
+            "and the static doppelganger sits near the mover "
+            "(nearest static feature "
+            f"{rows.get('unlabeled', {}).get('static_dist_mean')} m), "
+            "so fresh well-localized detection components always exist "
+            "near the mover.",
+            "- the shipped fix for the UNLABELED default "
+            "(birth_weight_dynamic = 0.05, cfg/mixed_synth.cfg) raises "
+            "the confirmation plateau ~5x and the mover confirms:",
+            "",
+            "| variant | sel dist [m] | sel <2 m | sel weight | any "
+            "dist [m] | any <2 m | dyn mass | pose err [m] |",
+            "|---|---|---|---|---|---|---|---|"]
+        for name, r in rows.items():
+            lines.append(
+                f"| {name} | {r['sel_dist_mean']} | {r['sel_under_2m']} "
+                f"| {r['sel_w_mean']} | {r['any_dist_mean']} "
+                f"| {r['any_under_2m']} | {r['dyn_mass_mean']} "
+                f"| {r['pose_err_mean']} |")
+        lines += [""]
     if os.path.exists("results/ospa_latency.json"):
         with open("results/ospa_latency.json") as f:
             ol = json.load(f)

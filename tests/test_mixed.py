@@ -452,3 +452,55 @@ def test_shipped_mixed_cfg_confirms_mover():
     # measured: 1.00 under the shipped cfg, 0.88 with symmetric births
     # (birthWeightDynamic=-1) on the same stream
     assert frac >= 0.9, (frac, confirmed)
+
+
+def test_birth_trail_snowball_merge():
+    """Pin the labeled-mode localization mechanism (RESULTS 'Labeled-mode
+    anomaly'): a trail of successive mover births — ~0.26 m apart with
+    the mixed birth covariance — collapses into ONE merged cluster under
+    the averaged-covariance Mahalanobis greedy merge (minSeparation = 5),
+    whose mean sits at the weighted trail centroid, i.e. LAGGING the
+    mover's head by ~half the trail length. This is why labeled mode
+    (one birth per mover per step, no detection subsidy) cannot localize
+    a crossing mover regardless of birth weight."""
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.filter.state import Gaussian4DMixture
+    from phdslam_tpu.filter.update4 import greedy_merge4
+
+    cfg = load_config("cfg/mixed_synth.cfg")
+    T = 20
+    step = 0.26                      # mover displacement per step [m]
+    F = 8
+    pos_var = (cfg.birthNoiseFactor * cfg.stdRange) ** 2     # ~2.25 m^2
+    birth_cov = np.diag([pos_var, pos_var,
+                         cfg.covVxBirth, cfg.covVyBirth]).astype(np.float32)
+    # sequential chain, as in the filter: one birth at the mover's head
+    # per step, merged into the surviving mixture each step
+    w = np.zeros((1, F), np.float32)
+    mean = np.zeros((1, F, 4), np.float32)
+    cov = np.broadcast_to(np.eye(4, dtype=np.float32),
+                          (1, F, 4, 4)).copy()
+    gm = Gaussian4DMixture.from_arrays(
+        jnp.asarray(w), jnp.asarray(mean), jnp.asarray(cov))
+    for t in range(T):
+        w = np.asarray(gm.w).copy()
+        mean = np.asarray(gm.mean).copy()
+        cov = np.asarray(gm.cov).copy()
+        slot = int(np.argmin(w[0]))              # a free/weakest slot
+        w[0, slot] = 0.05
+        mean[0, slot] = [step * t, 0.0, 0.0, 0.0]
+        cov[0, slot] = birth_cov
+        gm = Gaussian4DMixture.from_arrays(
+            jnp.asarray(w), jnp.asarray(mean), jnp.asarray(cov))
+        ow, omc, occ = greedy_merge4(
+            gm.w, gm.mean_channels, gm.cov_channels, cfg.minSeparation, F)
+        gm = Gaussian4DMixture(w=ow, mean_channels=omc, cov_channels=occ)
+    ow = np.asarray(gm.w[0])
+    n_clusters = int((ow > 0).sum())
+    assert n_clusters == 1, n_clusters            # the snowball
+    j = int(np.argmax(ow))
+    cx = float(np.asarray(gm.mean)[0, j, 0])      # merged x position
+    head = step * (T - 1)
+    # the merged mean trails the mover's head materially — the labeled
+    # dwell runs measure ~5 m on the real scenario
+    assert head - cx > 1.5, (cx, head)
