@@ -822,8 +822,8 @@ def main():
             f"{mx['mover_dist_under_2m']}; final dynamic mass "
             f"{mx['dyn_mass_mean']}",
             *([f"- SETTLED pairs (>=4 consecutive in-FOV steps — the "
-               "filter needs ~4 detections at birth_weight=1e-2 to "
-               f"confirm; {mx['settled_scored']} pairs): "
+               "filter needs a few detections after birth to confirm; "
+               f"{mx['settled_scored']} pairs): "
                f"{mx['settled_dist_mean']} m mean, fraction under 2 m "
                f"{mx['settled_dist_under_2m']}"]
               if mx.get("settled_scored") else []),
@@ -858,7 +858,7 @@ def main():
         if mx.get("oracle_settled_dist_mean") is not None or var_keys:
             lines += [
                 "### Mover-quality decomposition and variants "
-                "(scripts/mixed_evidence.py, round 4)",
+                "(scripts/mixed_evidence.py, rounds 4-5)",
                 ""]
         if mx.get("oracle_settled_dist_mean") is not None:
             lines += [
@@ -972,7 +972,20 @@ def main():
             "near the mover.",
             "- the shipped fix for the UNLABELED default "
             "(birth_weight_dynamic = 0.05, cfg/mixed_synth.cfg) raises "
-            "the confirmation plateau ~5x and the mover confirms:",
+            "the confirmation plateau ~5x and the mover confirms.",
+            "- labeled mode is REHABILITATED (not shipped as default: "
+            "the scenario family is unlabeled) by attacking both "
+            "mechanisms: birth_weight_dynamic = 0.1 fixes confirmation "
+            "and keep_oob_dynamic = 1 stops the FOV-exit reset that "
+            "feeds the snowball (the reference kills out-of-FOV dynamic "
+            "features - 'TODO: hack', src/phdfilter.cu:3715-3719). "
+            "Envelope (variants table): settled 1.68 m / 0.657 with the "
+            "BEST velocity cosine of any variant (0.385 main / 0.798 "
+            "dwell), best pose (1.075 m) and a clean dynamic map "
+            "(mass 0.17 = the movers, no clones) - vs all-null metrics "
+            "at the symmetric defaults.",
+            "",
+            "Oracle decomposition table (paused-dwell window):",
             "",
             "| variant | sel dist [m] | sel <2 m | sel weight | any "
             "dist [m] | any <2 m | dyn mass | pose err [m] |",
