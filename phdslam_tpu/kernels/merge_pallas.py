@@ -439,11 +439,17 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
              ow_ref, om0_ref, om1_ref, om2_ref, om3_ref,
              oc0_ref, oc1_ref, oc2_ref, oc3_ref, oc4_ref, oc5_ref,
              oc6_ref, oc7_ref, oc8_ref, oc9_ref,
-             *, cap: int, min_separation: float, block: int):
+             *, cap: int, min_separation: float, block: int,
+             ax: int = 1):
     """4-D variant (dynamic maps): symmetric 4x4 covariances as 10 scalar
     channels ordered (00,01,02,03,11,12,13,22,23,33); Mahalanobis via the
-    channelized Cholesky of filter/update4.py::chol4_solve_sq."""
-    tp, K = w_ref.shape
+    channelized Cholesky of filter/update4.py::chol4_solve_sq.
+
+    ax: the candidate axis of the channel blocks — 1 for the original
+    [tile_p, K] layout, 0 for the transposed [K, tile_p] layout whose
+    reductions run along sublanes (see _kernel_kt; same measured win)."""
+    K = w_ref.shape[ax]
+    tp = w_ref.shape[1 - ax]
     means = [m0_ref[:, :], m1_ref[:, :], m2_ref[:, :], m3_ref[:, :]]
     covs = [c0_ref[:, :], c1_ref[:, :], c2_ref[:, :], c3_ref[:, :],
             c4_ref[:, :], c5_ref[:, :], c6_ref[:, :], c7_ref[:, :],
@@ -451,7 +457,7 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
     m_out = [om0_ref, om1_ref, om2_ref, om3_ref]
     c_out = [oc0_ref, oc1_ref, oc2_ref, oc3_ref, oc4_ref, oc5_ref,
              oc6_ref, oc7_ref, oc8_ref, oc9_ref]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, K), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, ax)
 
     zeros_out = jnp.zeros((cap, tp), w_ref.dtype)
     ones_out = jnp.ones((cap, tp), w_ref.dtype)
@@ -467,13 +473,14 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
          (1, 2): 5, (1, 3): 6, (2, 2): 7, (2, 3): 8, (3, 3): 9}
 
     def one_pick(w_rem):
-        mval = jnp.max(w_rem, axis=1)
-        hit = w_rem == mval[:, None]
-        first = jnp.min(jnp.where(hit, iota, K), axis=1)
-        onehot = iota == first[:, None]
-        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
-        a = [0.5 * (pick(c)[:, None] + c) for c in covs]     # avg cov
-        d = [pick(m)[:, None] - m for m in means]
+        mval = jnp.max(w_rem, axis=ax, keepdims=True)
+        hit = w_rem == mval
+        first = jnp.min(jnp.where(hit, iota, K), axis=ax, keepdims=True)
+        onehot = iota == first
+        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=ax,
+                                 keepdims=True)
+        a = [0.5 * (pick(c) + c) for c in covs]              # avg cov
+        d = [pick(m) - m for m in means]
         s = lambda ii, jj: a[S[(min(ii, jj), max(ii, jj))]]
         eps = 1e-12
         l00 = jnp.sqrt(jnp.maximum(s(0, 0), eps))
@@ -493,18 +500,18 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
         y3 = (d[3] - l30 * y0 - l31 * y1 - l32 * y2) / l33
         dist = y0 * y0 + y1 * y1 + y2 * y2 + y3 * y3
         sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
-        sel = sel & (mval > 0.0)[:, None]
+        sel = sel & (mval > 0.0)
         sw = jnp.where(sel, w_rem, 0.0)
-        wsum = jnp.sum(sw, axis=1)
+        wsum = jnp.sum(sw, axis=ax)
         inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
-        mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
-        dd = [mu[k][:, None] - means[k] for k in range(4)]
+        mu = [jnp.sum(sw * m, axis=ax) * inv for m in means]
+        dd = [jnp.expand_dims(mu[k], ax) - means[k] for k in range(4)]
         vals = [wsum] + mu
         ci = 0
         for aa in range(4):
             for bb in range(aa, 4):
                 nc = jnp.sum(sw * (covs[ci] + dd[aa] * dd[bb]),
-                             axis=1) * inv
+                             axis=ax) * inv
                 if aa == bb:
                     nc = jnp.where(wsum > 0.0, nc, 1.0)
                 vals.append(nc)
@@ -535,30 +542,38 @@ def _kernel4(w_ref, m0_ref, m1_ref, m2_ref, m3_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_separation", "max_out", "tile_p",
-                                    "interpret"))
+                                    "interpret", "layout"))
 def greedy_merge4_pallas(w, mean_channels, cov_channels, min_separation,
                          max_out: int, tile_p: int = 128,
-                         interpret: bool = False):
+                         interpret: bool = False, layout: str = "kp"):
     """Drop-in for filter.update4.greedy_merge4.
 
     w [P, K]; mean_channels [P, 4, K]; cov_channels [P, 10, K].
     Returns (w_out [P, max_out], mean_out [P, 4, max_out],
              cov_out [P, 10, max_out]).
+    layout as in greedy_merge_pallas ("kp" transposed default).
     """
     ins = ([w] + [mean_channels[:, k, :] for k in range(4)]
            + [cov_channels[:, k, :] for k in range(10)])
     ins, P0 = _pad_rows(ins, tile_p)
     P, K = ins[0].shape
     dtype = w.dtype
-    chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    if layout == "kp":
+        ins = [jnp.transpose(a, (1, 0)) for a in ins]         # [K, P]
+        chan = pl.BlockSpec((K, tile_p), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        ax = 0
+    else:
+        chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        ax = 1
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
     block = next(b for b in (16, 8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel4, cap=max_out,
                           min_separation=float(min_separation),
-                          block=block),
+                          block=block, ax=ax),
         grid=(P // tile_p,),
         in_specs=[chan] * 15,
         out_specs=(out,) * 15,
@@ -581,16 +596,19 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
              c00_ref, c01_ref, c02_ref, c11_ref, c12_ref, c22_ref,
              ow_ref, om0_ref, om1_ref, om2_ref,
              o00_ref, o01_ref, o02_ref, o11_ref, o12_ref, o22_ref,
-             *, cap: int, min_separation: float, block: int):
+             *, cap: int, min_separation: float, block: int,
+             ax: int = 1):
     """3-D variant (disparity-space Gaussians): Mahalanobis via the
-    closed-form 3x3 adjugate/determinant (device_math.cuh:331-345)."""
-    tp, K = w_ref.shape
+    closed-form 3x3 adjugate/determinant (device_math.cuh:331-345).
+    ax as in _kernel4."""
+    K = w_ref.shape[ax]
+    tp = w_ref.shape[1 - ax]
     means = [m0_ref[:, :], m1_ref[:, :], m2_ref[:, :]]
     covs = [c00_ref[:, :], c01_ref[:, :], c02_ref[:, :],
             c11_ref[:, :], c12_ref[:, :], c22_ref[:, :]]
     m_out = [om0_ref, om1_ref, om2_ref]
     c_out = [o00_ref, o01_ref, o02_ref, o11_ref, o12_ref, o22_ref]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tp, K), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, ax)
 
     zeros_out = jnp.zeros((cap, tp), w_ref.dtype)
     ones_out = jnp.ones((cap, tp), w_ref.dtype)
@@ -601,14 +619,15 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
         o[:, :] = ones_out if idx in (0, 3, 5) else zeros_out
 
     def one_pick(w_rem):
-        mval = jnp.max(w_rem, axis=1)
-        hit = w_rem == mval[:, None]
-        first = jnp.min(jnp.where(hit, iota, K), axis=1)
-        onehot = iota == first[:, None]
-        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=1)
+        mval = jnp.max(w_rem, axis=ax, keepdims=True)
+        hit = w_rem == mval
+        first = jnp.min(jnp.where(hit, iota, K), axis=ax, keepdims=True)
+        onehot = iota == first
+        pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=ax,
+                                 keepdims=True)
         a00, a01, a02, a11, a12, a22 = (
-            0.5 * (pick(c)[:, None] + c) for c in covs)
-        d0, d1, d2 = (pick(m)[:, None] - m for m in means)
+            0.5 * (pick(c) + c) for c in covs)
+        d0, d1, d2 = (pick(m) - m for m in means)
         det = (a00 * (a11 * a22 - a12 * a12)
                - a01 * (a01 * a22 - a12 * a02)
                + a02 * (a01 * a12 - a11 * a02))
@@ -622,16 +641,17 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
                 + 2.0 * (d0 * d1 * i01 + d0 * d2 * i02 + d1 * d2 * i12)
                 ) / det
         sel = ((dist < min_separation) & (w_rem > 0.0)) | onehot
-        sel = sel & (mval > 0.0)[:, None]
+        sel = sel & (mval > 0.0)
         sw = jnp.where(sel, w_rem, 0.0)
-        wsum = jnp.sum(sw, axis=1)
+        wsum = jnp.sum(sw, axis=ax)
         inv = jnp.where(wsum > 0.0, 1.0 / jnp.maximum(wsum, 1e-38), 0.0)
-        mu = [jnp.sum(sw * m, axis=1) * inv for m in means]
-        dd = [mu[k][:, None] - means[k] for k in range(3)]
+        mu = [jnp.sum(sw * m, axis=ax) * inv for m in means]
+        dd = [jnp.expand_dims(mu[k], ax) - means[k] for k in range(3)]
         vals = [wsum] + mu
         pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
         for ci, (aa, bb) in enumerate(pairs):
-            nc = jnp.sum(sw * (covs[ci] + dd[aa] * dd[bb]), axis=1) * inv
+            nc = jnp.sum(sw * (covs[ci] + dd[aa] * dd[bb]),
+                         axis=ax) * inv
             if aa == bb:
                 nc = jnp.where(wsum > 0.0, nc, 1.0)
             vals.append(nc)
@@ -661,26 +681,33 @@ def _kernel3(w_ref, m0_ref, m1_ref, m2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_separation", "max_out", "tile_p",
-                                    "interpret"))
+                                    "interpret", "layout"))
 def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
                          min_separation, max_out: int, tile_p: int = 128,
-                         interpret: bool = False):
+                         interpret: bool = False, layout: str = "kp"):
     """Drop-in for ops.gm.greedy_merge_channels3. Ten [P, K] channels in,
-    ten [P, max_out] channels out (w, m0..m2, c00,c01,c02,c11,c12,c22)."""
+    ten [P, max_out] channels out (w, m0..m2, c00,c01,c02,c11,c12,c22).
+    layout as in greedy_merge_pallas ("kp" transposed default)."""
     ins, P0 = _pad_rows([w, m0, m1, m2, c00, c01, c02, c11, c12, c22],
                         tile_p)
-    (w, m0, m1, m2, c00, c01, c02, c11, c12, c22) = ins
-    P, K = w.shape
+    P, K = ins[0].shape
     dtype = w.dtype
-    chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    if layout == "kp":
+        ins = [jnp.transpose(a, (1, 0)) for a in ins]         # [K, P]
+        chan = pl.BlockSpec((K, tile_p), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        ax = 0
+    else:
+        chan = pl.BlockSpec((tile_p, K), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        ax = 1
     out = pl.BlockSpec((max_out, tile_p), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
     block = next(b for b in (16, 8, 4, 2, 1) if max_out % b == 0)
     outs = pl.pallas_call(
         functools.partial(_kernel3, cap=max_out,
                           min_separation=float(min_separation),
-                          block=block),
+                          block=block, ax=ax),
         grid=(P // tile_p,),
         in_specs=[chan] * 10,
         out_specs=(out,) * 10,
@@ -693,5 +720,5 @@ def greedy_merge3_pallas(w, m0, m1, m2, c00, c01, c02, c11, c12, c22,
             bytes_accessed=(10 * P * K + 10 * P * max_out) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(w, m0, m1, m2, c00, c01, c02, c11, c12, c22)
+    )(*ins)
     return tuple(jnp.transpose(o, (1, 0))[:P0] for o in outs)

@@ -175,7 +175,9 @@ def test_variance_cli_flag(tiny_run):
                  "--variance", "--mat-export"])
     from scipy.io import loadmat
     d = loadmat(out / "particles00003.mat")
-    var = np.asarray(d["particles"][0, 0]["variances"]).ravel()
+    # field renamed 'variances' -> 'vars' to match the matio writer's
+    # layout (round 4); read_particles_mat keeps a legacy fallback
+    var = np.asarray(d["particles"][0, 0]["vars"]).ravel()
     assert (var > 0).all(), var
 
 
