@@ -764,6 +764,57 @@ def main():
             "CPHD posterior E[n] is an in-range-submap statistic "
             "(see PARITY.md N22) and is not the map-size estimate.",
             ""]
+    if os.path.exists("results/fastslam_grid.json"):
+        with open("results/fastslam_grid.json") as f:
+            fg = json.load(f)
+        results["fastslam_grid"] = fg
+
+        def _fg(c, s, t):
+            return fg.get(f"c{c:g}_s{s:g}_f{t}", {})
+
+        any_cell = next(iter(fg.values()))
+        lines += [
+            "## FastSLAM (filter_type = 2) — robustness grid vs PHD "
+            "(scripts/fastslam_evidence.py)",
+            "",
+            "The working realization of the reference's vestigial "
+            "FastSLAM subsystem (src/fastslam.cu + src/munkres.cu, "
+            "neither compiles nor is in the build): per-particle EKF "
+            "landmark maps, joint data association as a vmapped "
+            "on-device auction (filter/fastslam.py), host-side JCBB "
+            "for the empty jcbb_kernel stub (ops/jcbb.py). "
+            f"{any_cell['steps']}-step synthetic runs, "
+            f"{any_cell['n_particles']} particles, PAIRED "
+            "measurement/noise streams per cell; mean [m] / late-half "
+            "mean [m] pose error:",
+            "",
+            "| clutter/scan | std_range [m] | FastSLAM | PHD |",
+            "|---|---|---|---|"]
+        for c, s in ((2.0, 0.25), (2.0, 1.0), (20.0, 0.25), (20.0, 1.0)):
+            fs = _fg(c, s, 2)
+            ph = _fg(c, s, 0)
+            fs_s = (f"{fs['pose_mean']} / {fs['pose_late_mean']}"
+                    if fs else "—")
+            ph_s = (f"{ph['pose_mean']} / {ph['pose_late_mean']}"
+                    if ph else "—")
+            lines.append(f"| {c:g} | {s:g} | {fs_s} | {ph_s} |")
+        lines += [
+            "",
+            "- MEASURED RESULT: FastSLAM beats PHD when association is "
+            "unambiguous (low clutter/noise — ML association is sharper "
+            "than the PHD's hedged mass splitting) and degrades "
+            "monotonically in both clutter and noise; at the canonical "
+            "Victoria-Park setting (clutter 20/scan, std_range 1.0) it "
+            "diverges (association errors in a vector map are "
+            "unrecoverable) while PHD holds. This is the reference "
+            "thesis's core claim, demonstrated on its own scenario "
+            "family — and the reason the reference abandoned its "
+            "FastSLAM skeleton.",
+            "- Both association modes (joint auction, gated ML "
+            "fastslam_assoc = 0) diverge at the same point at the "
+            "canonical setting; raising max_features or particle count "
+            "does not rescue it (probed round 5).",
+            ""]
     if "parity_config2" in ev:
         pc = ev["parity_config2"]
         lines += [

@@ -21,6 +21,10 @@ from dataclasses import dataclass
 # Filter type (reference src/slamtypes.h:22-23)
 PHD_TYPE = 0
 CPHD_TYPE = 1
+# TPU-rebuild extension: the working realization of the reference's
+# vestigial FastSLAM subsystem (src/fastslam.cu, src/munkres.cu — neither
+# compiles nor is in the build; see filter/fastslam.py)
+FASTSLAM_TYPE = 2
 # Motion type (src/slamtypes.h:24-25)
 CV_MOTION = 0
 ACKERMAN_MOTION = 1
@@ -246,6 +250,19 @@ class SlamConfig:
                                 # the round-4 confirmation-failure fix;
                                 # evidence: results/mixed_dwell_oracle.json
                                 # + RESULTS.md mixed section.
+    fastslamAssoc: int = 1      # FastSLAM (filter_type = 2) association:
+                                # 1 (default) = joint auction assignment
+                                # (the working realization of the
+                                # reference's munkres_assign intent,
+                                # src/fastslam.cu:21-366); 0 = gated
+                                # per-measurement ML with winner-takes-
+                                # feature conflict resolution (classic
+                                # FastSLAM 1.0).
+    fastslamGate: float = 9.21  # chi-square(2 dof, 99%) Mahalanobis gate
+                                # on measurement-feature association — the
+                                # Q-matrix gate the reference's
+                                # preupdate_kernel computes
+                                # (src/fastslam.cu:395-399).
     cnPoissonPredict: bool = True  # CPHD predicted-cardinality prior:
                                 # True (default) rebuilds it as Poisson of
                                 # the full-map intensity mass each step —
@@ -365,6 +382,8 @@ _KEY_MAP = {
     "keep_oob_dynamic": "keepOobDynamic",
     "birth_vel_max": "birthVelMax",
     "birth_weight_dynamic": "birthWeightDynamic",
+    "fastslam_assoc": "fastslamAssoc",
+    "fastslam_gate": "fastslamGate",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(SlamConfig)}

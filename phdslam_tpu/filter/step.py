@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from phdslam_tpu.config import CPHD_TYPE, SlamConfig
+from phdslam_tpu.config import CPHD_TYPE, FASTSLAM_TYPE, SlamConfig
 from phdslam_tpu.filter.predict import predict, shotgun_expand
 from phdslam_tpu.filter.state import Measurements, SlamState
 from phdslam_tpu.filter.update import phd_update_static, phd_variance
@@ -208,6 +208,18 @@ def slam_step(state: SlamState, key, control, z: Measurements, dt,
     n_measure = z.count
 
     def do_update(st):
+        if cfg.filterType == FASTSLAM_TYPE:
+            from phdslam_tpu.filter.fastslam import fastslam_update
+            gm_out, dw = _pshard(
+                pmesh,
+                lambda pose, g, zrb, zval: fastslam_update(
+                    pose, g, zrb, zval, cfg),
+                (st.pose, st.map_static),
+                (z.rb, z.valid))
+            lw = st.log_weights + dw
+            log_lik = jax.scipy.special.logsumexp(lw)
+            lw = lw - log_lik
+            return st.replace(map_static=gm_out, log_weights=lw), log_lik
         if is_cphd:
             map_out, cn_update, dw = _pshard(
                 pmesh,

@@ -85,6 +85,30 @@ def test_cli_islands_cphd(tiny_run):
     assert all(np.isfinite(r["neff"]) for r in recs)
 
 
+def test_cli_fastslam(tiny_run):
+    """FastSLAM (filter_type = 2) through the full CLI surface: same log
+    contract as the PHD path (the runner treats the EKF map's evidence
+    counters as the weight channel, so logging/estimate/checkpoint apply
+    unchanged)."""
+    cfg, meas, ctrl, tmp = tiny_run
+    text = open(cfg).read().replace("filter_type = 0", "filter_type = 2")
+    cfg2 = tmp / "fs.cfg"
+    cfg2.write_text(text)
+    out = tmp / "fs_out"
+    _run([str(cfg2), "synth", "--out-dir", str(out),
+          "--measurements", str(meas), "--controls", str(ctrl)])
+    import json
+    recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert len(recs) == 6
+    assert all(np.isfinite(r["neff"]) for r in recs)
+    est = sorted(f for f in os.listdir(out)
+                 if f.startswith("state_estimate"))
+    assert len(est) == 6
+    pose = np.fromstring(
+        open(out / est[-1]).read().strip().splitlines()[0], sep=" ")
+    assert pose.shape[0] == 6 and np.isfinite(pose).all()
+
+
 def test_cli_player_flag(tiny_run):
     """--player bundles the run's logs into out-dir/player.html."""
     cfg, meas, ctrl, tmp = tiny_run
