@@ -250,6 +250,23 @@ class SlamConfig:
                                 # the round-4 confirmation-failure fix;
                                 # evidence: results/mixed_dwell_oracle.json
                                 # + RESULTS.md mixed section.
+    minSeparationDynamic: float = -1.0  # merge threshold (squared
+                                # Mahalanobis) for the DYNAMIC (4-D) map in
+                                # the mixed model; -1 (default) = use
+                                # minSeparation for both maps, the
+                                # reference's symmetric semantics (one
+                                # min_separation constant,
+                                # src/phdfilter.cu:2707). The round-5
+                                # snowball diagnosis (RESULTS.md mixed
+                                # section) showed successive mover births
+                                # merging under the averaged-covariance
+                                # Mahalanobis at minSeparation = 5, with
+                                # moment-matching inflating the merged
+                                # covariance until one smeared feature
+                                # swallows the whole birth trail; a
+                                # smaller dynamic-only threshold keeps
+                                # mover components sharp without touching
+                                # the tuned static merge.
     fastslamAssoc: int = 1      # FastSLAM (filter_type = 2) association:
                                 # 1 (default) = joint auction assignment
                                 # (the working realization of the
@@ -384,6 +401,7 @@ _KEY_MAP = {
     "birth_weight_dynamic": "birthWeightDynamic",
     "fastslam_assoc": "fastslamAssoc",
     "fastslam_gate": "fastslamGate",
+    "min_separation_dynamic": "minSeparationDynamic",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(SlamConfig)}

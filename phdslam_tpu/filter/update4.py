@@ -691,8 +691,10 @@ def _pool_merge_dynamic(gm4, pre4, w_nd, w_det, w_birth, z_rb, pose, cfg,
         [gm4.mean_channels, flatc(mean_det), mean_b], axis=-1)
     cand_cov = jnp.concatenate(
         [gm4.cov_channels, flatc(cov_det), cov_b], axis=-1)
+    min_sep = cfg.minSeparationDynamic \
+        if cfg.minSeparationDynamic > 0 else cfg.minSeparation
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
-                               cfg.minSeparation, F,
+                               min_sep, F,
                                use_pallas=cfg.usePallas,
                                interpret=cfg.pallasInterpret,
                                force=cfg.pallasForce)
@@ -731,8 +733,10 @@ def _pool_merge_dynamic_sel(gm4, w_nd, sel, w_birth, z_rb, pose, cfg,
         [gm4.mean_channels, flatc(mean_sel), mean_b], axis=-1)
     cand_cov = jnp.concatenate(
         [gm4.cov_channels, flatc(cov_sel), cov_b], axis=-1)
+    min_sep = cfg.minSeparationDynamic \
+        if cfg.minSeparationDynamic > 0 else cfg.minSeparation
     ow, om, oc = greedy_merge4(cand_w, cand_mean, cand_cov,
-                               cfg.minSeparation, F,
+                               min_sep, F,
                                use_pallas=cfg.usePallas,
                                interpret=cfg.pallasInterpret,
                                force=cfg.pallasForce)
