@@ -121,13 +121,30 @@ def bench_cpu_reference(cfg, n_particles=32, n_steps=4,
     vs_baseline speedup no longer swings with host load (it varied
     805-3180x across rounds on identical TPU numerators). Delete the
     anchor file to force a re-measure."""
-    import dataclasses
     import hashlib
 
     cfg_small = cfg.replace(n_particles=n_particles)
+    # Key on the fields the CPU reference path actually reads (the
+    # attribute set of reference_cpu.py), NOT the whole dataclass: hashing
+    # the full config invalidated the anchor every time an unrelated
+    # config knob was added (measured: a FastSLAM-only field bumped the
+    # re-measured denominator 39.7 s -> 103.5 s under host load, swinging
+    # vs_baseline 894 -> 2299 on an identical TPU numerator).
+    cpu_fields = (
+        "a", "ax", "ay", "ayaw", "b", "beta", "birthNoiseFactor",
+        "birthWeight", "birthWeightDynamic", "clutterDensity",
+        "clutterRate", "cnPoissonPredict", "covVxBirth", "covVyBirth",
+        "dt", "featureModel", "filterType", "gateBirths", "gateThreshold",
+        "h", "l", "labeledMeasurements", "maxBearing", "maxCardinality",
+        "maxRange", "minFeatureWeight", "minRange", "minSeparation",
+        "motionType", "n_particles", "particleWeighting", "pd", "ps",
+        "resampleThresh", "stdAlpha", "stdAxMap", "stdAyMap", "stdBearing",
+        "stdEncoder", "stdRange", "subdividePredict", "tau", "vx0", "vy0",
+        "vyaw0", "x0", "y0", "yaw0", "maxFeatures", "maxMeasurements")
     key = hashlib.sha256(
-        repr((sorted(dataclasses.asdict(cfg_small).items()), n_steps,
-              "make_stress_inputs-v1-seed0")).encode()).hexdigest()[:16]
+        repr(([(f, getattr(cfg_small, f, None)) for f in cpu_fields],
+              n_steps, "make_stress_inputs-v1-seed0")).encode()
+    ).hexdigest()[:16]
     if os.path.exists(anchor_path):
         try:
             with open(anchor_path) as f:
