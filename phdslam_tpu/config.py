@@ -307,6 +307,13 @@ class SlamConfig:
             raise ValueError(
                 f"select_top_k must be in [0, 8] (0 = auto), got "
                 f"{self.selectTopK}")
+        # FastSLAM (filter_type = 2) maintains per-particle EKF maps in the
+        # static channel only; a mixed/dynamic feature model would be
+        # silently ignored by fastslam_update rather than tracked.
+        if self.filterType == 2 and self.featureModel != 0:
+            raise ValueError(
+                "filter_type = 2 (FastSLAM) supports only feature_model = 0 "
+                f"(static landmarks), got feature_model = {self.featureModel}")
 
     def replace(self, **kw) -> "SlamConfig":
         if ("clutterRate" in kw or "maxBearing" in kw or "maxRange" in kw) \

@@ -318,3 +318,15 @@ def test_fastslam_e2e_tracking(tiny_cfg):
     pts = np.stack([gm.mx[conf], gm.my[conf]], axis=1)
     d = np.linalg.norm(pts[:, None, :] - sc.landmarks[None, :, :], axis=-1)
     assert np.median(d.min(axis=1)) < 1.0
+
+
+def test_fastslam_rejects_mixed_feature_model():
+    """filter_type = 2 only maintains the static map; a mixed feature
+    model would be silently ignored, so the config rejects it."""
+    import pytest
+
+    from phdslam_tpu.config import SlamConfig
+
+    with pytest.raises(ValueError, match="feature_model"):
+        SlamConfig(filterType=2, featureModel=2)
+    SlamConfig(filterType=2, featureModel=0)  # valid
