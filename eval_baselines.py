@@ -814,6 +814,7 @@ def main():
             "fastslam_assoc = 0) diverge at the same point at the "
             "canonical setting; raising max_features or particle count "
             "does not rescue it (probed round 5).",
+            "- grid plot: results/fastslam_grid.png",
             ""]
     if "parity_config2" in ev:
         pc = ev["parity_config2"]
