@@ -187,12 +187,94 @@ def _kernel(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
     jax.lax.fori_loop(0, nv, one_measurement, 0)
 
 
+def _kernel_ft(z_ref, nv_ref, r_ref, b_ref, lpw_ref, si00_ref, si01_ref,
+               si11_ref,
+               lds_ref, mx_ref, my_ref, g00_ref, g01_ref, g10_ref, g11_ref,
+               u00_ref, u01_ref, u11_ref,
+               sum_ref, wsel_ref, mxsel_ref, mysel_ref, u00sel_ref,
+               u01sel_ref, u11sel_ref, lpwsel_ref, compat_ref,
+               *, n_measure: int, k1: int, clutter_birth: float,
+               min_weight: float, gate_threshold: float, raw: bool,
+               with_compat: bool = True, with_lpw: bool = True):
+    """Transposed-layout twin of ``_kernel``: channel blocks are [F, tp]
+    (features on the SUBLANE axis, particles on the LANE axis), so the
+    per-measurement normalizer sum and every per-pick reduction (max,
+    first-index, six payload extractions) run along sublanes — strided
+    vreg adds at VPU throughput — instead of along lanes. The same
+    layout change that won on the merge kernel (``merge_pallas._kernel_kt``),
+    applied to the selection loop's ~(2 + 8*k1) reductions per
+    measurement. Same arithmetic, same outputs (reduction order differs
+    -> float32 ulp-level drift in sum_exp)."""
+    r = r_ref[:, :]
+    b = b_ref[:, :]
+    lpw = lpw_ref[:, :]
+    base = lpw - LOG_2PI - 0.5 * lds_ref[:, :]
+    si00 = si00_ref[:, :]
+    si01 = si01_ref[:, :]
+    si11 = si11_ref[:, :]
+    F, tp = r.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (F, tp), 0)
+    two_pi = 2.0 * math.pi
+
+    zmp = jnp.zeros((n_measure, tp), r.dtype)
+    zmkp = jnp.zeros((n_measure, k1, tp), r.dtype)
+    sum_ref[:, :] = zmp
+    compat_ref[:, :] = zmp
+    for o in (wsel_ref, mxsel_ref, mysel_ref, u00sel_ref, u01sel_ref,
+              u11sel_ref, lpwsel_ref):
+        o[:, :, :] = zmkp
+
+    def one_measurement(m, _):
+        ir = z_ref[m, 0] - r
+        ib = z_ref[m, 1] - b
+        ib = ib - two_pi * jnp.round(ib / two_pi)
+        dist = ir * ir * si00 + 2.0 * ir * ib * si01 + ib * ib * si11
+        dist = jnp.maximum(dist, 0.0)
+        e = jnp.exp(base - 0.5 * dist)                     # [F, tp]
+        s = jnp.sum(e, axis=0)                             # [tp]
+        sum_ref[m, :] = s
+        if with_compat:
+            in_rng = lpw > (0.5 * NEG_LARGE)
+            compat_ref[m, :] = jnp.max(
+                jnp.where(in_rng & (dist < gate_threshold), 1.0, 0.0),
+                axis=0)
+        if raw:
+            w_det = e
+        else:
+            w_det = e * (1.0 / (s + clutter_birth))[None, :]
+            w_det = jnp.where(w_det >= min_weight, w_det, 0.0)
+        mxd = mx_ref[:, :] + g00_ref[:, :] * ir + g01_ref[:, :] * ib
+        myd = my_ref[:, :] + g10_ref[:, :] * ir + g11_ref[:, :] * ib
+
+        wrem = w_det
+        for j in range(k1):
+            mval = jnp.max(wrem, axis=0)                   # [tp]
+            hit = wrem == mval[None, :]
+            first = jnp.min(jnp.where(hit, iota, F), axis=0)
+            onehot = iota == first[None, :]
+            pick = lambda c: jnp.sum(jnp.where(onehot, c, 0.0), axis=0)
+            wsel_ref[m, j, :] = jnp.where(mval > 0.0, mval, 0.0)
+            mxsel_ref[m, j, :] = pick(mxd)
+            mysel_ref[m, j, :] = pick(myd)
+            u00sel_ref[m, j, :] = pick(u00_ref[:, :])
+            u01sel_ref[m, j, :] = pick(u01_ref[:, :])
+            u11sel_ref[m, j, :] = pick(u11_ref[:, :])
+            if with_lpw:
+                lpwsel_ref[m, j, :] = pick(lpw)
+            wrem = jnp.where(onehot, 0.0, wrem)
+        return 0
+
+    nv = jnp.minimum(nv_ref[0], n_measure)
+    jax.lax.fori_loop(0, nv, one_measurement, 0)
+
+
 @functools.partial(jax.jit, static_argnums=(3,),
                    static_argnames=("k1", "tile_p", "interpret", "raw",
-                                    "with_compat", "with_lpw"))
+                                    "with_compat", "with_lpw", "layout"))
 def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
                         tile_p: int = 128, interpret: bool = False,
                         raw: bool = False, n_valid=None,
+                        layout: str = "pf",
                         with_compat: bool = None, with_lpw: bool = None):
     """Run the fused kernel. pre: filter.update.PreUpdate channels; gm:
     Gaussian2DMixture. Returns (sum_exp [P,M], w_sel, mx_sel, my_sel,
@@ -236,8 +318,15 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
     nv = jnp.full((1,), M, jnp.int32) if n_valid is None \
         else jnp.asarray(n_valid, jnp.int32).reshape(1)
 
-    chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    if layout == "fp":
+        chans = [jnp.transpose(c, (1, 0)) for c in chans]   # [F, P]
+        chan = pl.BlockSpec((F, tile_p), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        kern = _kernel_ft
+    else:
+        chan = pl.BlockSpec((tile_p, F), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        kern = _kernel
     out_mp = pl.BlockSpec((M, tile_p), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
     out_mkp = pl.BlockSpec((M, k1, tile_p), lambda i: (0, 0, i),
@@ -245,7 +334,7 @@ def fused_update_select(z_rb, pre, gm, cfg, k1: int = 8,
     dtype = pre.r.dtype
     outs = pl.pallas_call(
         functools.partial(
-            _kernel, n_measure=M, k1=k1,
+            kern, n_measure=M, k1=k1,
             clutter_birth=float(cfg.clutterDensity + cfg.birthWeight),
             min_weight=float(cfg.minFeatureWeight),
             gate_threshold=float(cfg.gateThreshold), raw=raw,
